@@ -1,0 +1,28 @@
+"""autoprepad_spark — a from-scratch PySpark-native schema + constraint
+validation engine with the capability surface of JAdelhelm/AutoPrepAD.
+
+The reference (studied at /root/reference, read-only) is a single-node
+sklearn/pandas preprocessing + anomaly-marking pipeline. This engine
+re-expresses that capability surface Spark-first:
+
+* fit steps (quantiles, median/MAD, mean/std, modes, vocabularies) become
+  native Spark aggregations in ONE wide pass over the scan,
+* transform steps (outlier flags, null indicators, pattern encodings)
+  become vectorized Arrow/pandas-UDF predicates or native Column
+  expressions (configurable; never per-row Python),
+* the pyod anomaly score becomes deterministic constraint verdicts:
+  per-partition pass/fail rows + materialized violation rows,
+* resumability comes from a per-partition lineage/metrics checkpoint
+  table instead of joblib model dumps.
+
+Designed for 10^12-row Iceberg tables on multi-executor clusters; the
+local table layer (autoprepad_spark.sources.tables) stands in for Iceberg
+with partitioned parquet so the same code runs in the sandbox.
+"""
+
+from autoprepad_spark.session import get_spark
+from autoprepad_spark.plans.suite import ValidationSuite
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "ValidationSuite", "__version__"]

@@ -1,0 +1,165 @@
+"""Distribution-drift detection: PSI + chi-square of per-source n_tok
+histograms against a checkpointed baseline profile.
+
+The reference's fit/transform split IS a train-vs-new-data comparison
+(train-fitted stats applied to test data, /root/reference/pipelines/
+runs.py:139-198); the drift check generalizes it to distribution level.
+
+Scale design:
+* the histogram is ONE aggregation: groupBy(source, bucket).count() —
+  partial+final hash agg, output cardinality = |sources| x |buckets|
+  (tiny), so the 10^12-row table reduces to a few hundred rows before
+  anything else happens. The hot "web" source is harmless here because
+  map-side partial aggregation already collapses it per task; an optional
+  salted two-phase is provided for degenerate single-bucket skew.
+* baseline vs current is a full-outer join on (source, bucket) of two tiny
+  frames, then PSI/chi² math runs per source in applyInPandas (grouped-map
+  pandas UDF — vectorized, no per-row Python).
+
+chi-square p-value is computed with a numpy implementation of the
+regularized upper incomplete gamma Q(k/2, x/2) (series + continued
+fraction), since scipy is not a dependency.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+PSI_EPS = 1e-6
+DEFAULT_BUCKET_WIDTH = 64
+PSI_FAIL = 0.2  # industry-standard "significant shift" threshold
+# chi² over-rejects at large n (tiny sampling noise -> significant);
+# verified empirically: alpha=1e-3 false-positived on un-drifted data at
+# n~5k. PSI is the primary signal; chi² backs it with a strict alpha.
+CHI2_ALPHA = 1e-6
+
+
+def ntok_histogram(
+    df: DataFrame,
+    *,
+    bucket_width: int = DEFAULT_BUCKET_WIDTH,
+    salted: bool = False,
+    salts: int = 16,
+) -> DataFrame:
+    """(source, bucket, cnt) histogram of n_tok — one agg pass."""
+    bucket = F.floor(F.col("n_tok") / F.lit(bucket_width)).cast("int").alias("bucket")
+    base = df.filter(F.col("n_tok").isNotNull() & F.col("source").isNotNull())
+    if salted:
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(salts))
+        p1 = base.groupBy("source", bucket, salt.alias("_s")).agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        return p1.groupBy("source", "bucket").agg(F.sum("_c").alias("cnt"))
+    return base.groupBy("source", bucket).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_DRIFT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("psi", T.DoubleType()),
+        T.StructField("chi2_stat", T.DoubleType()),
+        T.StructField("chi2_dof", T.IntegerType()),
+        T.StructField("chi2_pvalue", T.DoubleType()),
+        T.StructField("n_buckets", T.IntegerType()),
+        T.StructField("baseline_n", T.LongType()),
+        T.StructField("current_n", T.LongType()),
+    ]
+)
+
+
+def _igamc(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) — chi² survival function
+    is Q(k/2, x/2). Series for x < a+1, continued fraction otherwise
+    (standard Numerical-Recipes-style formulation, public algorithm)."""
+    if x <= 0 or a <= 0:
+        return 1.0
+    if x < a + 1.0:
+        # P(a,x) by series, Q = 1 - P
+        ap, s, d = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            d *= x / ap
+            s += d
+            if abs(d) < abs(s) * 1e-15:
+                break
+        p = s * math.exp(-x + a * math.log(x) - math.lgamma(a))
+        return max(0.0, 1.0 - p)
+    # Q(a,x) by continued fraction (Lentz)
+    tiny = 1e-300
+    b, c = x + 1.0 - a, 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def _drift_one_source(pdf: pd.DataFrame) -> pd.DataFrame:
+    src = pdf["source"].iloc[0]
+    b = pdf["baseline_cnt"].fillna(0).to_numpy(dtype=np.float64)
+    c = pdf["current_cnt"].fillna(0).to_numpy(dtype=np.float64)
+    bn, cn = b.sum(), c.sum()
+    if bn == 0 or cn == 0:
+        return pd.DataFrame(
+            [[src, float("inf"), float("inf"), 0, 0.0, len(b), int(bn), int(cn)]],
+            columns=[f.name for f in _DRIFT_SCHEMA.fields],
+        )
+    bp = np.maximum(b / bn, PSI_EPS)
+    cp = np.maximum(c / cn, PSI_EPS)
+    psi = float(np.sum((cp - bp) * np.log(cp / bp)))
+    # chi² goodness-of-fit of current counts vs baseline proportions,
+    # restricted to buckets with baseline mass (standard practice).
+    mask = b > 0
+    expected = bp[mask] / bp[mask].sum() * cn
+    observed = c[mask]
+    chi2 = float(np.sum((observed - expected) ** 2 / expected))
+    dof = max(int(mask.sum()) - 1, 1)
+    pval = _igamc(dof / 2.0, chi2 / 2.0)
+    return pd.DataFrame(
+        [[src, psi, chi2, dof, pval, len(b), int(bn), int(cn)]],
+        columns=[f.name for f in _DRIFT_SCHEMA.fields],
+    )
+
+
+def drift(
+    baseline_hist: DataFrame,
+    current_hist: DataFrame,
+    *,
+    psi_fail: float = PSI_FAIL,
+    chi2_alpha: float = CHI2_ALPHA,
+) -> DataFrame:
+    """Per-source drift verdicts from two (source, bucket, cnt) histograms.
+
+    Returns (source, psi, chi2_stat, chi2_dof, chi2_pvalue, n_buckets,
+    baseline_n, current_n, psi_fail, chi2_fail, status).
+    """
+    b = baseline_hist.select("source", "bucket", F.col("cnt").alias("baseline_cnt"))
+    c = current_hist.select("source", "bucket", F.col("cnt").alias("current_cnt"))
+    joined = b.join(c, ["source", "bucket"], "full_outer")
+    scored = joined.groupBy("source").applyInPandas(_drift_one_source, _DRIFT_SCHEMA)
+    return (
+        scored.withColumn("psi_fail", (F.col("psi") > psi_fail))
+        .withColumn("chi2_fail", (F.col("chi2_pvalue") < chi2_alpha))
+        .withColumn(
+            "status",
+            F.when(F.col("psi_fail") | F.col("chi2_fail"), F.lit("fail")).otherwise(
+                F.lit("pass")
+            ),
+        )
+    )

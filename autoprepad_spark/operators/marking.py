@@ -1,0 +1,179 @@
+"""Row-level constraint marking — the engine's "transform" stage.
+
+The reference marks outliers per row with whole-table pandas transforms
+(TukeyTransformer.py:54 `(X < lower) | (X > upper)`,
+MedianAbsolutDeviation.py:53-61 modified Z with 0.6745 / 3.5,
+ZTransformerMean.py:47-58 z-score with threshold 3, ddof=1) and counts
+flags per row (TukeyTransformerTotal.py:25-36 row-wise sum).
+
+Two interchangeable predicate engines produce IDENTICAL flags:
+
+* ``arrow``  (default) — one vectorized pandas/Arrow UDF evaluates every
+  row-level predicate over Arrow record batches: numpy/pyarrow kernels
+  only, no per-row Python (north-rule requirement). Token-array
+  structure checks use ListArray offsets + ``np.maximum.reduceat`` so the
+  nested column is traversed once, vectorized.
+* ``native`` — the same predicates as Catalyst Column expressions
+  (whole-stage codegen; fastest JVM path, used as the cross-check).
+
+Fit statistics arrive as plain floats (broadcast as literals into the
+plan) — the marking pass is a pure map, no shuffle, and preserves the
+input columns untouched (token-array equality invariant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame, Column, functions as F, types as T
+
+from autoprepad_spark.datagen import VOCAB_SIZE
+from autoprepad_spark.operators.profile import ProfileStats
+
+MAD_SCALE = 0.6745  # MedianAbsolutDeviation.py:56
+MAD_THRESHOLD = 3.5  # MedianAbsolutDeviation.py:36
+Z_THRESHOLD = 3.0  # ZTransformerMean.py:32
+TUKEY_FACTOR = 1.5  # TukeyTransformer.py:33
+
+#: check-name -> flag column (order defines severity tie-break ordering)
+ROW_CHECKS = [
+    "null_doc_id",
+    "len_mismatch",
+    "token_oob",
+    "empty_tokens",
+    "ntok_tukey",
+    "ntok_mad",
+    "ntok_z",
+]
+FLAG_COLS = [f"f_{c}" for c in ROW_CHECKS]
+
+_FLAG_STRUCT = T.StructType([T.StructField(f, T.IntegerType()) for f in FLAG_COLS])
+
+
+def _flags_numpy(
+    doc_null: np.ndarray,
+    lengths: np.ndarray,  # -1 where tokens column itself is null
+    tok_min: np.ndarray,
+    tok_max: np.ndarray,
+    n_tok: np.ndarray,  # NaN where null
+    stats: ProfileStats,
+    vocab_size: int,
+) -> dict[str, np.ndarray]:
+    """Shared vectorized predicate kernel (numpy; used by the arrow engine)."""
+    lo, hi = stats.tukey_bounds
+    out: dict[str, np.ndarray] = {}
+    out["f_null_doc_id"] = doc_null.astype(np.int32)
+    with np.errstate(invalid="ignore"):
+        out["f_len_mismatch"] = (lengths != np.nan_to_num(n_tok, nan=-1.0)).astype(np.int32)
+        has = lengths > 0
+        out["f_token_oob"] = (has & ((tok_min < 0) | (tok_max >= vocab_size))).astype(np.int32)
+        out["f_empty_tokens"] = (lengths == 0).astype(np.int32)
+        out["f_ntok_tukey"] = ((n_tok < lo) | (n_tok > hi)).astype(np.int32)
+        if stats.mad_n_tok > 0:  # zero-MAD guard, MedianAbsolutDeviation.py:44-45
+            zmod = MAD_SCALE * (n_tok - stats.median_n_tok) / stats.mad_n_tok
+            out["f_ntok_mad"] = (np.abs(zmod) > MAD_THRESHOLD).astype(np.int32)
+        else:
+            out["f_ntok_mad"] = np.zeros(len(n_tok), dtype=np.int32)
+        if stats.std_n_tok > 0:  # zero-std guard, ZTransformerMean.py:50-51
+            z = (n_tok - stats.mean_n_tok) / stats.std_n_tok
+            out["f_ntok_z"] = (np.abs(z) > Z_THRESHOLD).astype(np.int32)
+        else:
+            out["f_ntok_z"] = np.zeros(len(n_tok), dtype=np.int32)
+    return out
+
+
+def _list_stats(tokens: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """lengths / per-list min / per-list max via Arrow offsets (vectorized)."""
+    arr = pa.array(tokens, type=pa.list_(pa.int64()))
+    n = len(arr)
+    lengths = pc.list_value_length(arr)
+    lengths = np.asarray(lengths.fill_null(-1), dtype=np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_min = np.zeros(n, dtype=np.float64)
+    tok_max = np.zeros(n, dtype=np.float64)
+    if flat.size:
+        starts = np.clip(offsets[:-1], 0, flat.size - 1)
+        mins = np.minimum.reduceat(flat, starts)
+        maxs = np.maximum.reduceat(flat, starts)
+        has = lengths > 0
+        tok_min[has] = mins[has]
+        tok_max[has] = maxs[has]
+    return lengths, tok_min, tok_max
+
+
+def _arrow_flag_udf(stats: ProfileStats, vocab_size: int):
+    @F.pandas_udf(_FLAG_STRUCT)
+    def flags(doc_id: pd.Series, tokens: pd.Series, n_tok: pd.Series) -> pd.DataFrame:
+        lengths, tok_min, tok_max = _list_stats(tokens)
+        nt = n_tok.to_numpy(dtype=np.float64, na_value=np.nan)
+        out = _flags_numpy(
+            doc_id.isna().to_numpy(), lengths, tok_min, tok_max, nt, stats, vocab_size
+        )
+        return pd.DataFrame(out)
+
+    return flags
+
+
+def _native_flag_cols(stats: ProfileStats, vocab_size: int) -> dict[str, Column]:
+    lo, hi = stats.tukey_bounds
+    nt = F.col("n_tok").cast("double")
+    size = F.coalesce(F.size("tokens"), F.lit(-1))
+    cols: dict[str, Column] = {
+        "f_null_doc_id": F.isnull("doc_id").cast("int"),
+        "f_len_mismatch": F.coalesce(
+            (size != F.coalesce(nt, F.lit(-1.0))).cast("int"), F.lit(1)
+        ),
+        "f_token_oob": F.coalesce(
+            (
+                (size > 0)
+                & ((F.array_min("tokens") < 0) | (F.array_max("tokens") >= vocab_size))
+            ).cast("int"),
+            F.lit(0),
+        ),
+        "f_empty_tokens": (size == 0).cast("int"),
+        "f_ntok_tukey": F.coalesce(((nt < lo) | (nt > hi)).cast("int"), F.lit(0)),
+    }
+    if stats.mad_n_tok > 0:
+        zmod = MAD_SCALE * (nt - stats.median_n_tok) / stats.mad_n_tok
+        cols["f_ntok_mad"] = F.coalesce((F.abs(zmod) > MAD_THRESHOLD).cast("int"), F.lit(0))
+    else:
+        cols["f_ntok_mad"] = F.lit(0)
+    if stats.std_n_tok > 0:
+        z = (nt - stats.mean_n_tok) / stats.std_n_tok
+        cols["f_ntok_z"] = F.coalesce((F.abs(z) > Z_THRESHOLD).cast("int"), F.lit(0))
+    else:
+        cols["f_ntok_z"] = F.lit(0)
+    return cols
+
+
+def mark(
+    df: DataFrame,
+    stats: ProfileStats,
+    *,
+    vocab_size: int = VOCAB_SIZE,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Append one 0/1 flag column per row check plus ``flag_total``.
+
+    Pure projection (no shuffle); input columns pass through untouched.
+    """
+    if engine == "arrow":
+        udf = _arrow_flag_udf(stats, vocab_size)
+        out = df.withColumn("_flags", udf("doc_id", "tokens", "n_tok"))
+        for f in FLAG_COLS:
+            out = out.withColumn(f, F.col("_flags")[f])
+        out = out.drop("_flags")
+    elif engine == "native":
+        out = df
+        for name, col in _native_flag_cols(stats, vocab_size).items():
+            out = out.withColumn(name, col)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown engine {engine!r}")
+    # Row-wise horizontal sum (TukeyTransformerTotal.py:25-36 analog).
+    total = None
+    for f in FLAG_COLS:
+        total = F.col(f) if total is None else total + F.col(f)
+    return out.withColumn("flag_total", total.cast("int"))

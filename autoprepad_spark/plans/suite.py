@@ -1,0 +1,140 @@
+"""ValidationSuite — the engine's query-lifecycle orchestrator.
+
+Reference lifecycle (SURVEY.md §3): construct plan -> fit (aggregations)
+-> transform (marking) -> verdict emission. Spark lifecycle here:
+
+    suite = ValidationSuite()
+    result = suite.run(df, dim=source_dim, baseline_hist=...)
+    result.verdicts / result.violations / result.drift
+
+Job graph (each a single scan, AQE-planned):
+  1. profile: one wide rollup agg (+ tiny MAD pass)     [fit]
+  2. marking: Arrow-UDF map -> violations materialized  [transform]
+  3. row counts: column-pruned count per partition
+  4. uniqueness: salted two-phase groupBy on doc_id (global)
+  5. referential: broadcast anti join on source
+  6. drift: histogram agg + grouped-map PSI/chi²
+Resume: partitions already in the checkpoint table are pruned from the
+scan (partition-pruning filter), uniqueness stays global so cross-
+partition duplicates are still caught.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from autoprepad_spark import schema as S
+from autoprepad_spark.datagen import VOCAB_SIZE
+from autoprepad_spark.operators import drift as drift_mod
+from autoprepad_spark.operators.marking import ROW_CHECKS, mark
+from autoprepad_spark.operators.profile import ProfileStats, global_stats
+from autoprepad_spark.operators.referential import referential_violations
+from autoprepad_spark.operators.uniqueness import duplicate_rows
+from autoprepad_spark.plans import verdicts as V
+from autoprepad_spark.plans.checkpoint import CheckpointTable
+
+ALL_CHECKS = ROW_CHECKS + ["unique_doc_id", "ref_source"]
+
+
+@dataclass
+class ValidationResult:
+    stats: ProfileStats
+    verdicts: DataFrame
+    violations: DataFrame
+    marked: DataFrame
+    drift: DataFrame | None = None
+    schema_issues: list = field(default_factory=list)
+
+    def top_violations(self, n: int = 100) -> DataFrame:
+        return V.top_violations(self.violations, self.marked, n)
+
+
+@dataclass
+class ValidationSuite:
+    vocab_size: int = VOCAB_SIZE
+    engine: str = "arrow"  # arrow | native predicate evaluation
+    exact_quantiles: bool = True  # False -> percentile_approx sketch (scale path)
+    stat_max_rate: float = V.STAT_MAX_RATE
+    bucket_width: int = drift_mod.DEFAULT_BUCKET_WIDTH
+    validate_input_schema: bool = True
+
+    def run(
+        self,
+        df: DataFrame,
+        *,
+        dim: DataFrame | None = None,
+        baseline_hist: DataFrame | None = None,
+        checkpoint: CheckpointTable | None = None,
+        run_id: str | None = None,
+        stats: ProfileStats | None = None,
+    ) -> ValidationResult:
+        issues = []
+        if self.validate_input_schema:
+            report = S.validate_schema(df, S.TOKENS_SCHEMA, allow_extra=True)
+            issues = report.issues
+            if any(i.kind in ("missing", "type_mismatch") for i in issues):
+                raise ValueError(f"input schema does not conform: {issues}")
+
+        # fit statistics ALWAYS over the full table (resume-deterministic)
+        if stats is None:
+            stats = global_stats(df, exact_quantiles=self.exact_quantiles)
+
+        todo = checkpoint.remaining(df, run_id) if checkpoint and run_id else df
+
+        marked = mark(todo, stats, vocab_size=self.vocab_size, engine=self.engine)
+        row_viol = V.explode_violations(marked)
+
+        dup_viol = (
+            duplicate_rows(df, "doc_id")
+            .select(
+                "part",
+                F.lit("unique_doc_id").alias("check_name"),
+                "doc_id",
+                F.lit(None).cast("string").alias("detail"),
+            )
+        )
+        if checkpoint and run_id:
+            done = checkpoint.completed_parts(run_id)
+            if done:
+                dup_viol = dup_viol.filter(~F.col("part").isin(done))
+
+        parts = [row_viol, dup_viol]
+        if dim is not None:
+            ref_viol = referential_violations(todo, dim).select(
+                "part",
+                F.lit("ref_source").alias("check_name"),
+                "doc_id",
+                F.col("source").alias("detail"),
+            )
+            parts.append(ref_viol)
+
+        violations = parts[0]
+        for p in parts[1:]:
+            violations = violations.unionByName(p)
+        # violation set is tiny by construction — cache so verdict counts
+        # and materialization don't re-run the marking UDF scan
+        violations = violations.cache()
+
+        row_counts = todo.groupBy("part").agg(F.count(F.lit(1)).alias("row_count"))
+        check_names = ALL_CHECKS if dim is not None else [
+            c for c in ALL_CHECKS if c != "ref_source"
+        ]
+        verdicts = V.assemble_verdicts(
+            row_counts, violations, check_names, stat_max_rate=self.stat_max_rate
+        )
+
+        drift_df = None
+        if baseline_hist is not None:
+            current = drift_mod.ntok_histogram(df, bucket_width=self.bucket_width)
+            drift_df = drift_mod.drift(baseline_hist, current)
+
+        return ValidationResult(
+            stats=stats,
+            verdicts=verdicts,
+            violations=violations,
+            marked=marked,
+            drift=drift_df,
+            schema_issues=issues,
+        )

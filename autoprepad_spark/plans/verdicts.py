@@ -1,0 +1,112 @@
+"""Verdict + violation assembly.
+
+The reference emits per-row AnomalyScore/AnomalyLabel plus MAD_Total /
+Tukey_Total counts, violation rows sorted to the top
+(/root/reference/pipelines/runs.py:198-222, experiment.py:424-454). The
+engine's equivalent output is:
+
+* ``violations`` — one row per (row, violated check): the materialized
+  violation set, severity-orderable,
+* ``verdicts``  — one row per (partition, check): pass/fail + metric +
+  violation_count + row_count.
+
+Scale design: the expensive marking pass runs ONCE — violations are
+materialized first (a filter on flag_total>0 keeps the output tiny), and
+per-partition verdict counts are then aggregated from the violation set
+(tiny) joined against a cheap column-pruned row-count pass, instead of
+re-running the marking UDF for the aggregation. The (part x check) grid
+is densified driver-side (both sides are small by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from autoprepad_spark.operators.marking import FLAG_COLS, ROW_CHECKS
+
+#: checks whose violations are hard failures (any violation -> fail)
+HARD_CHECKS = {
+    "null_doc_id",
+    "len_mismatch",
+    "token_oob",
+    "empty_tokens",
+    "unique_doc_id",
+    "ref_source",
+}
+#: statistical checks pass while the violation RATE stays under threshold
+#: (default 0.1 — the reference's top-10% labeling default, control.py:98)
+STAT_MAX_RATE = 0.1
+
+
+def explode_violations(marked: DataFrame) -> DataFrame:
+    """Marked rows -> one violation row per (row, violated check).
+
+    Filter-before-explode: only rows with flag_total > 0 reach the
+    generator, so the explode multiplies a <<1% subset.
+    """
+    pairs = F.array(
+        *[
+            F.struct(F.lit(name).alias("check_name"), F.col(flag).alias("v"))
+            for name, flag in zip(ROW_CHECKS, FLAG_COLS)
+        ]
+    )
+    hit = F.filter(pairs, lambda s: s["v"] == 1)
+    return (
+        marked.filter(F.col("flag_total") > 0)
+        .select(
+            "part",
+            F.explode(hit).alias("_h"),
+            "doc_id",
+            F.col("n_tok").cast("string").alias("detail"),
+        )
+        .select("part", F.col("_h.check_name").alias("check_name"), "doc_id", "detail")
+    )
+
+
+def assemble_verdicts(
+    row_counts: DataFrame,
+    violations: DataFrame,
+    check_names: list[str],
+    *,
+    stat_max_rate: float = STAT_MAX_RATE,
+) -> DataFrame:
+    """Densify (part x check) and compute pass/fail.
+
+    row_counts: (part, row_count); violations: VIOLATION_SCHEMA rows.
+    """
+    spark = row_counts.sparkSession
+    checks = spark.createDataFrame([(c,) for c in check_names], ["check_name"])
+    grid = row_counts.crossJoin(F.broadcast(checks))
+    counts = violations.groupBy("part", "check_name").agg(
+        F.count(F.lit(1)).alias("violation_count")
+    )
+    merged = grid.join(counts, ["part", "check_name"], "left").fillna(
+        {"violation_count": 0}
+    )
+    rate = F.col("violation_count") / F.greatest(F.col("row_count"), F.lit(1))
+    is_hard = F.col("check_name").isin(*sorted(HARD_CHECKS))
+    status = F.when(
+        is_hard, F.when(F.col("violation_count") > 0, "fail").otherwise("pass")
+    ).otherwise(F.when(rate > stat_max_rate, "fail").otherwise("pass"))
+    return merged.select(
+        "part",
+        "check_name",
+        status.alias("status"),
+        rate.cast("double").alias("metric"),
+        F.col("violation_count").cast("long"),
+        F.col("row_count").cast("long"),
+    )
+
+
+def top_violations(violations: DataFrame, marked: DataFrame, n: int = 100) -> DataFrame:
+    """Severity-ordered head — the analog of the reference's sort-desc-by-
+    (AnomalyScore, MAD_Total, Tukey_Total) output (runs.py:435).
+    TakeOrderedAndProject: no full sort materialization."""
+    sev = marked.filter(F.col("flag_total") > 0).select(
+        "part", "doc_id", "flag_total"
+    )
+    return (
+        violations.join(sev, ["part", "doc_id"], "left")
+        .orderBy(F.desc_nulls_last("flag_total"), "part", "doc_id")
+        .limit(n)
+    )
