@@ -1,38 +1,713 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: constraint-validation report over sf0.001.
+queries()      — one entry per implemented operator (SURVEY.md §2);
+                 each callable (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL per query (same column names,
+                 floats rounded identically on both sides). Queries
+                 without an oracle (sketches, LSH, engine-internal) get
+                 the driver's rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from autoprepad_spark.functions import nulls as FN
+from autoprepad_spark.functions import stats as FS
+from autoprepad_spark.functions.patterns import charclass_encode
+from autoprepad_spark.operators import dedup as DD
+from autoprepad_spark.operators import drift as DR
+from autoprepad_spark.operators import similarity as SIM
+from autoprepad_spark.operators import text as TX
+from autoprepad_spark.operators.correlation import spearman_matrix
+from autoprepad_spark.operators.referential import referential_violations
+from autoprepad_spark.operators.uniqueness import duplicate_keys
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Validation report over sf0.001 lineitem: per-column robust-stat
+    outlier checks + null completeness, emitted as verdict rows."""
+    sf = "/root/testdata/sf0.001"
+    li = _t(spark, sf, "lineitem")
+    rows = []
+    for col in ["l_quantity", "l_extendedprice", "l_discount"]:
+        st = FS.fit_robust(li, col)
+        c = F.col(col).cast("double")
+        agg = li.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(FS.tukey_flag(c, st).cast("long")).alias("tukey"),
+            F.sum(FS.mad_flag(c, st).cast("long")).alias("mad"),
+            F.sum(FS.zscore_flag(c, st).cast("long")).alias("z"),
+            F.sum(F.isnull(col).cast("long")).alias("nulls"),
+        ).collect()[0]
+        for check, cnt in [("tukey", agg["tukey"]), ("mad", agg["mad"]),
+                           ("zscore", agg["z"]), ("null", agg["nulls"])]:
+            rate = cnt / agg["n_rows"] if agg["n_rows"] else 0.0
+            rows.append((col, check, int(cnt), int(agg["n_rows"]), float(rate),
+                         "fail" if (check == "null" and cnt > 0) or rate > 0.1 else "pass"))
+    return spark.createDataFrame(
+        rows,
+        "column string, check_name string, violation_count long, "
+        "row_count long, metric double, status string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — aggregations / stats (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def q_profile_stats(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(qty), 2).alias("sum_qty"),
+        F.round(F.avg(price), 4).alias("mean_price"),
+        F.round(F.stddev_samp(price), 4).alias("std_price"),
+        F.round(F.min(price), 2).alias("min_price"),
+        F.round(F.max(price), 2).alias("max_price"),
+        F.round(F.percentile(qty, F.lit(0.5)), 4).alias("median_qty"),
+    )
+
+
+def q_null_rates(spark, sf):
+    ev = _t(spark, sf, "events").withColumn(
+        "value", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    out = FN.null_rates(ev, ["value", "props"])
+    return out.select(
+        "column", "n_null", "n_rows", F.round("null_rate", 6).alias("null_rate")
+    )
+
+
+def q_tukey_flags(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    st = FS.fit_robust(li, "l_extendedprice")
+    flag = FS.tukey_flag(F.col("l_extendedprice").cast("double"), st)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(flag.cast("long")).alias("n_flagged")
+    )
+
+
+def q_mad_flags(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    st = FS.fit_robust(li, "l_extendedprice")
+    flag = FS.mad_flag(F.col("l_extendedprice").cast("double"), st)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(flag.cast("long")).alias("n_flagged")
+    )
+
+
+def q_zscore_flags(spark, sf):
+    od = _t(spark, sf, "orders")
+    st = FS.fit_robust(od, "o_totalprice")
+    flag = FS.zscore_flag(F.col("o_totalprice").cast("double"), st)
+    return od.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(flag.cast("long")).alias("n_flagged")
+    )
+
+
+def q_flag_totals(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    flags = []
+    for col in ["l_quantity", "l_extendedprice", "l_discount"]:
+        st = FS.fit_robust(li, col)
+        flags.append(FS.tukey_flag(F.col(col).cast("double"), st))
+    return (
+        li.withColumn("flag_total", FS.flag_total(*flags).cast("long"))
+        .groupBy("flag_total")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_topk_label(spark, sf):
+    od = _t(spark, sf, "orders")
+    t = FS.percentile_threshold(od, "o_totalprice", 0.9)
+    label = (F.col("o_totalprice") > F.lit(t)).cast("long")
+    return od.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(label).alias("n_top")
+    )
+
+
+def q_minmax_scale(spark, sf):
+    cu = _t(spark, sf, "customer")
+    r = cu.agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")).collect()[0]
+    scaled = FS.minmax_scale(F.col("c_acctbal").cast("double"), float(r["lo"]), float(r["hi"]))
+    return cu.groupBy("c_mktsegment").agg(
+        F.round(F.avg(scaled), 6).alias("avg_scaled"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def q_robust_scale(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    st = FS.fit_robust(li, "l_quantity")
+    scaled = FS.robust_scale(F.col("l_quantity").cast("double"), st)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg(scaled), 6).alias("avg_scaled"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def q_impute_median(spark, sf):
+    ev = _t(spark, sf, "events").withColumn(
+        "value", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    filled = FN.impute_median(ev, ["value"])
+    return filled.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def q_mode_per_group(spark, sf):
+    cu = _t(spark, sf, "customer")
+    counts = cu.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("cnt"), F.asc("c_mktsegment"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("cnt").alias("n"),
+        )
+    )
+
+
+def q_value_counts(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_percentile_sweep(spark, sf):
+    od = _t(spark, sf, "orders")
+    out = FS.percentile_sweep(od, "o_totalprice")
+    return out.select(
+        F.col("pct").cast("long").alias("pct"), F.round("value", 4).alias("value")
+    )
+
+
+def q_approx_distinct(spark, sf):  # rows-only: HLL sketches differ by impl
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("orders_hll"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("parts_hll"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("supps_hll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins / set ops (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q_dim_check(spark, sf):
+    cu = _t(spark, sf, "customer")
+    allowed = (
+        _t(spark, sf, "nation")
+        .filter(F.col("n_regionkey") <= 2)
+        .select(F.col("n_nationkey").alias("c_nationkey"))
+    )
+    viol = referential_violations(
+        cu, allowed, fact_key="c_nationkey", dim_key="c_nationkey", active_only=False
+    )
+    return viol.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_violations"))
+
+
+def q_inner_join_agg(spark, sf):
+    od = _t(spark, sf, "orders")
+    cu = _t(spark, sf, "customer")
+    j = od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_union_all(spark, sf):
+    ev = _t(spark, sf, "events")
+    u = ev.unionByName(ev.filter(F.col("event_type") == "error"))
+    return u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_uniqueness(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    dups = duplicate_keys(li, "l_orderkey", salt_cols=["l_partkey", "l_linenumber"])
+    return dups.agg(
+        F.count(F.lit(1)).alias("n_dup_keys"),
+        F.sum("dup_count").alias("n_dup_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window / order ops (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_ffill(spark, sf):
+    ev = _t(spark, sf, "events").withColumn(
+        "value", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    filled = F.last("value", ignorenulls=True).over(w)
+    return ev.select("event_id", F.round(filled, 6).alias("value_filled"))
+
+
+def q_sort_severity(spark, sf):
+    od = _t(spark, sf, "orders")
+    return (
+        od.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+def q_spearman(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    m = spearman_matrix(li, ["l_quantity", "l_extendedprice"])
+    return m.select("col_a", "col_b", F.round("rho", 6).alias("rho"))
+
+
+# ---------------------------------------------------------------------------
+# scalar / string / date functions (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_datetime_parts(spark, sf):
+    od = _t(spark, sf, "orders")
+    return od.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.weekday("o_orderdate").cast("long").alias("wd"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_null_fingerprint(spark, sf):
+    ev = (
+        _t(spark, sf, "events")
+        .withColumn("value", F.when(F.col("event_type") == "error", None).otherwise(F.col("value")))
+        .withColumn("props", F.when(F.col("event_type") == "signup", None).otherwise(F.col("props")))
+    )
+    fp = FN.null_fingerprint(["value", "props"])
+    return ev.groupBy(fp.alias("fingerprint")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_charclass_pattern(spark, sf):
+    pt = _t(spark, sf, "part")
+    return pt.groupBy(
+        charclass_encode("p_brand").alias("pattern"),
+        F.length("p_brand").cast("long").alias("len"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / similarity (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_dups(spark, sf):
+    """documents ∪ copies of every 10th doc (id+100000) — deterministic
+    duplicate injection both engines can reproduce."""
+    d = _t(spark, sf, "documents")
+    dup = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return d.unionByName(dup)
+
+
+def q_dedup_exact(spark, sf):
+    docs = _docs_with_dups(spark, sf)
+    groups = DD.exact_duplicates(docs, "text", "doc_id")
+    return groups.select("text_hash", "dup_count")
+
+
+def q_ngram_jaccard(spark, sf):
+    docs = _docs_with_dups(spark, sf)
+    pairs = DD.jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", k_shingle=3, threshold=0.9,
+        max_doc_freq=None,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_dedup(spark, sf):  # rows-only: LSH hash family is engine-specific
+    docs = _docs_with_dups(spark, sf)
+    sigs = DD.minhash_signatures(docs, text_col="text", id_col="doc_id")
+    return DD.minhash_candidates(sigs, id_col="doc_id").orderBy("id_a", "id_b")
+
+
+def q_simhash_dedup(spark, sf):  # rows-only
+    docs = _docs_with_dups(spark, sf)
+    fps = DD.simhash(docs, text_col="text", id_col="doc_id")
+    return (
+        DD.simhash_candidates(fps, id_col="doc_id")
+        .filter(F.col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_text_profile(spark, sf):
+    d = _t(spark, sf, "documents")
+    prof = TX.text_profile(d)
+    return prof.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "punct_ratio", "mean_word_len", "quality", "lang_pred", "fingerprint",
+    )
+
+
+def q_drift_psi(spark, sf):
+    d = _t(spark, sf, "documents")
+    base = DR.ntok_histogram(d, value_col="n_chars", bucket_width=50)
+    # md5-based half-split: decorrelated from source (doc_id % 2 is not)
+    half = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        *"01234567"
+    )
+    cur = DR.ntok_histogram(d.filter(half), value_col="n_chars", bucket_width=50)
+    out = DR.drift(base, cur)
+    return out.select("source", F.round("psi", 6).alias("psi"))
+
+
+def q_embedding_topk(spark, sf):
+    em = _t(spark, sf, "embeddings")
+    q = em.filter(F.col("vec_id") < 10)
+    out = SIM.brute_force_topk(em, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_embedding_lsh_topk(spark, sf):  # rows-only: plane family engine-specific
+    em = _t(spark, sf, "embeddings")
+    q = em.filter(F.col("vec_id") < 10)
+    out = SIM.lsh_topk(em, q, k=5)
+    return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_validate_tokens(spark, sf):  # rows-only: north-rule engine end-to-end
+    from autoprepad_spark import ValidationSuite
+    from autoprepad_spark.datagen import generate_tokens, source_dim
+
+    df = generate_tokens(spark, 50_000, seed=42, n_parts=8)
+    res = ValidationSuite().run(df, dim=source_dim(spark))
+    return res.verdicts.orderBy("part", "check_name")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "profile_stats": q_profile_stats,
+        "null_rates": q_null_rates,
+        "tukey_flags": q_tukey_flags,
+        "mad_flags": q_mad_flags,
+        "zscore_flags": q_zscore_flags,
+        "flag_totals": q_flag_totals,
+        "topk_label": q_topk_label,
+        "minmax_scale": q_minmax_scale,
+        "robust_scale": q_robust_scale,
+        "impute_median": q_impute_median,
+        "mode_per_group": q_mode_per_group,
+        "value_counts": q_value_counts,
+        "percentile_sweep": q_percentile_sweep,
+        "approx_distinct": q_approx_distinct,
+        "dim_check": q_dim_check,
+        "inner_join_agg": q_inner_join_agg,
+        "union_all": q_union_all,
+        "uniqueness": q_uniqueness,
+        "ffill": q_ffill,
+        "sort_severity": q_sort_severity,
+        "spearman": q_spearman,
+        "datetime_parts": q_datetime_parts,
+        "null_fingerprint": q_null_fingerprint,
+        "charclass_pattern": q_charclass_pattern,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "text_profile": q_text_profile,
+        "drift_psi": q_drift_psi,
+        "embedding_topk": q_embedding_topk,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "validate_tokens": q_validate_tokens,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim({c})), '\\s+', ' ', 'g')"
+
+_DOCS2 = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0"
+)
+
+_EV_NULLED = (
+    "SELECT event_id, ts, user_id, event_type, "
+    "CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value, props FROM events"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = {k: "|".join(v) for k, v in TX.LANG_STOPWORDS.items()}
+    return {
+        "profile_stats": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(avg(l_extendedprice), 4) AS mean_price,
+                   round(stddev_samp(l_extendedprice), 4) AS std_price,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price,
+                   round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "null_rates": f"""
+            WITH ev AS ({_EV_NULLED})
+            SELECT col AS "column", n_null, n_rows, round(n_null / n_rows, 6) AS null_rate
+            FROM (
+              SELECT 'value' AS col, count(*) - count(value) AS n_null, count(*) AS n_rows FROM ev
+              UNION ALL
+              SELECT 'props', count(*) - count(props), count(*) FROM ev
+            )
+        """,
+        "tukey_flags": """
+            WITH s AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                              quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+            SELECT l_returnflag, count(*) AS n_rows,
+                   sum(CASE WHEN l_extendedprice < q1 - 1.5*(q3-q1)
+                             OR l_extendedprice > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+            FROM lineitem, s GROUP BY 1
+        """,
+        "mad_flags": """
+            WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem),
+                 d AS (SELECT quantile_cont(abs(l_extendedprice - med), 0.5) AS mad FROM lineitem, m)
+            SELECT l_returnflag, count(*) AS n_rows,
+                   sum(CASE WHEN mad > 0 AND abs(0.6745*(l_extendedprice - med)/mad) > 3.5
+                            THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+            FROM lineitem, m, d GROUP BY 1
+        """,
+        "zscore_flags": """
+            WITH s AS (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd FROM orders)
+            SELECT o_orderpriority, count(*) AS n_rows,
+                   sum(CASE WHEN sd > 0 AND abs((o_totalprice - mu)/sd) > 3
+                            THEN 1 ELSE 0 END)::BIGINT AS n_flagged
+            FROM orders, s GROUP BY 1
+        """,
+        "flag_totals": """
+            WITH q AS (SELECT quantile_cont(l_quantity, 0.25) AS q1, quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem),
+                 p AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1, quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem),
+                 d AS (SELECT quantile_cont(l_discount, 0.25) AS q1, quantile_cont(l_discount, 0.75) AS q3 FROM lineitem)
+            SELECT (CASE WHEN l_quantity < q.q1 - 1.5*(q.q3-q.q1) OR l_quantity > q.q3 + 1.5*(q.q3-q.q1) THEN 1 ELSE 0 END
+                  + CASE WHEN l_extendedprice < p.q1 - 1.5*(p.q3-p.q1) OR l_extendedprice > p.q3 + 1.5*(p.q3-p.q1) THEN 1 ELSE 0 END
+                  + CASE WHEN l_discount < d.q1 - 1.5*(d.q3-d.q1) OR l_discount > d.q3 + 1.5*(d.q3-d.q1) THEN 1 ELSE 0 END)::BIGINT AS flag_total,
+                   count(*) AS n
+            FROM lineitem, q, p, d GROUP BY 1
+        """,
+        "topk_label": """
+            WITH t AS (SELECT quantile_cont(o_totalprice, 0.9) AS thr FROM orders)
+            SELECT o_orderpriority, count(*) AS n_rows,
+                   sum(CASE WHEN o_totalprice > thr THEN 1 ELSE 0 END)::BIGINT AS n_top
+            FROM orders, t GROUP BY 1
+        """,
+        "minmax_scale": """
+            WITH s AS (SELECT min(c_acctbal) AS lo, max(c_acctbal) AS hi FROM customer)
+            SELECT c_mktsegment,
+                   round(avg((c_acctbal - lo) / (hi - lo)), 6) AS avg_scaled,
+                   count(*) AS n_rows
+            FROM customer, s GROUP BY 1
+        """,
+        "robust_scale": """
+            WITH s AS (SELECT quantile_cont(l_quantity, 0.25) AS q1,
+                              quantile_cont(l_quantity, 0.5) AS med,
+                              quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem)
+            SELECT l_returnflag,
+                   round(avg((l_quantity - med) / (q3 - q1)), 6) AS avg_scaled,
+                   count(*) AS n_rows
+            FROM lineitem, s GROUP BY 1
+        """,
+        "impute_median": f"""
+            WITH ev AS ({_EV_NULLED}),
+                 m AS (SELECT quantile_cont(value, 0.5) AS med FROM ev)
+            SELECT event_type, round(avg(coalesce(value, med)), 6) AS avg_value,
+                   count(*) AS n_rows
+            FROM ev, m GROUP BY 1
+        """,
+        "mode_per_group": """
+            WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+                       FROM customer GROUP BY 1, 2),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY cnt DESC, c_mktsegment ASC) AS rn FROM c)
+            SELECT c_nationkey::BIGINT AS c_nationkey, c_mktsegment AS mode_segment, cnt AS n
+            FROM r WHERE rn = 1
+        """,
+        "value_counts": "SELECT event_type, count(*) AS n FROM events GROUP BY 1",
+        "percentile_sweep": """
+            WITH q AS (SELECT quantile_cont(o_totalprice,
+                         [x * 0.01 FOR x IN range(1, 101)]) AS v FROM orders)
+            SELECT i AS pct, round(v[i], 4) AS value
+            FROM q, unnest(generate_series(1, 100)) t(i)
+        """,
+        "dim_check": """
+            SELECT c_mktsegment, count(*) AS n_violations
+            FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+            GROUP BY 1
+        """,
+        "inner_join_agg": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+        """,
+        "union_all": """
+            SELECT event_type, count(*) AS n FROM (
+              SELECT event_type FROM events
+              UNION ALL SELECT event_type FROM events WHERE event_type = 'error'
+            ) GROUP BY 1
+        """,
+        "uniqueness": """
+            WITH d AS (SELECT l_orderkey, count(*) AS dup_count FROM lineitem
+                       GROUP BY 1 HAVING count(*) > 1)
+            SELECT count(*) AS n_dup_keys, sum(dup_count)::BIGINT AS n_dup_rows FROM d
+        """,
+        "ffill": f"""
+            WITH ev AS ({_EV_NULLED})
+            SELECT event_id,
+                   round(last_value(value IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled
+            FROM ev
+        """,
+        "sort_severity": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+        """,
+        "spearman": """
+            WITH r AS (SELECT
+                rank() OVER (ORDER BY l_quantity)
+                  + (count(*) OVER (PARTITION BY l_quantity) - 1)/2.0 AS ra,
+                rank() OVER (ORDER BY l_extendedprice)
+                  + (count(*) OVER (PARTITION BY l_extendedprice) - 1)/2.0 AS rb
+              FROM lineitem)
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   round(corr(ra, rb), 6) AS rho FROM r
+        """,
+        "datetime_parts": """
+            SELECT year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m,
+                   (isodow(o_orderdate) - 1)::BIGINT AS wd, count(*) AS n
+            FROM orders GROUP BY 1, 2, 3
+        """,
+        "null_fingerprint": """
+            SELECT (CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+                  + CASE WHEN event_type = 'signup' THEN 2 ELSE 0 END)::BIGINT AS fingerprint,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "charclass_pattern": """
+            SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                     p_brand, '[A-Z]', 'U', 'g'), '[a-z]', 'l', 'g'),
+                     '[0-9]', 'd', 'g'), '[^Uld]', 'o', 'g') AS pattern,
+                   length(p_brand)::BIGINT AS len, count(*) AS n
+            FROM part GROUP BY 1, 2
+        """,
+        "dedup_exact": f"""
+            WITH d AS ({_DOCS2})
+            SELECT md5({_NORM.format(c='text')}) AS text_hash, count(*) AS dup_count
+            FROM d GROUP BY 1 HAVING count(*) > 1
+        """,
+        "ngram_jaccard": f"""
+            WITH d AS ({_DOCS2}),
+            words AS (SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w FROM d),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+                   FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+        """,
+        "text_profile": f"""
+            WITH base AS (
+              SELECT doc_id, text, {_NORM.format(c='text')} AS nt FROM documents
+            ), feat AS (
+              SELECT doc_id, text, nt,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text) END AS punct_ratio,
+                     CASE WHEN len(string_split(nt, ' ')) = 0 THEN 0.0
+                          ELSE (length(nt) - (len(string_split(nt, ' ')) - 1))
+                               / len(string_split(nt, ' ')) END AS mwl,
+                     len(regexp_extract_all(lower(text), '\\b({stop['en']})\\b')) AS s_en,
+                     len(regexp_extract_all(lower(text), '\\b({stop['de']})\\b')) AS s_de,
+                     len(regexp_extract_all(lower(text), '\\b({stop['fr']})\\b')) AS s_fr,
+                     len(regexp_extract_all(lower(text), '\\b({stop['es']})\\b')) AS s_es
+              FROM base
+            )
+            SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_bpe_tokens::BIGINT AS n_bpe_tokens,
+                   round(punct_ratio, 6) AS punct_ratio,
+                   round(mwl, 6) AS mean_word_len,
+                   round(((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1.0
+                                WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END)
+                        + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.0 END)
+                        + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        ELSE 'de' END AS lang_pred,
+                   md5(nt) AS fingerprint
+            FROM feat
+        """,
+        "drift_psi": """
+            WITH b AS (SELECT source, floor(n_chars / 50)::INT AS bucket, count(*) AS cnt
+                       FROM documents GROUP BY 1, 2),
+                 c AS (SELECT source, floor(n_chars / 50)::INT AS bucket, count(*) AS cnt
+                       FROM documents
+                       WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN
+                             ('0','1','2','3','4','5','6','7')
+                       GROUP BY 1, 2),
+                 j AS (SELECT coalesce(b.source, c.source) AS source,
+                              coalesce(b.cnt, 0) AS bc, coalesce(c.cnt, 0) AS cc
+                       FROM b FULL OUTER JOIN c ON b.source = c.source AND b.bucket = c.bucket),
+                 t AS (SELECT source, sum(bc) AS tb, sum(cc) AS tc FROM j GROUP BY 1),
+                 p AS (SELECT j.source, greatest(bc / tb, 1e-6) AS bp, greatest(cc / tc, 1e-6) AS cp
+                       FROM j JOIN t ON j.source = t.source)
+            SELECT source, round(sum((cp - bp) * ln(cp / bp)), 6) AS psi
+            FROM p GROUP BY 1
+        """,
+        "embedding_topk": """
+            WITH pairs AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim
+              FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              WHERE q.vec_id < 10
+            ), ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM pairs
+            )
+            SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim, rank::BIGINT AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+    }

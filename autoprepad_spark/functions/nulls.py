@@ -1,0 +1,79 @@
+"""Null handling: indicators, fingerprints, rates, imputation.
+
+Reference parity:
+* per-column 0/1 null indicators (NaNColumnCreator.py:25-36 /
+  sklearn MissingIndicator, pipelines/configuration.py:144)
+* row null-pattern fingerprint: concat of 0/1 flags, REVERSED, read as a
+  binary integer (NaNColumnCreatorTotal.py:33-54 via BitArray.int) — one
+  integer encoding which columns are null in the row
+* median / most-frequent imputation (pipelines/configuration.py:187-190,
+  287-290 SimpleImputer)
+
+All pure Column expressions or single aggregations; the fingerprint stays
+JVM-side (bit-shift sum, no string building).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def null_indicator(col: str) -> Column:
+    return F.isnull(col).cast("int")
+
+
+def null_fingerprint(cols: list[str], *, reference_bit_order: bool = True) -> Column:
+    """sum(flag_i << position) over the row's null flags.
+
+    reference_bit_order=True reproduces NaNColumnCreatorTotal.py:44-47:
+    the flag string is REVERSED before int conversion, i.e. column i
+    contributes bit i (first column = least-significant bit).
+    """
+    total = F.lit(0).cast("long")
+    n = len(cols)
+    for i, c in enumerate(cols):
+        bit = i if reference_bit_order else (n - 1 - i)
+        total = total + (F.isnull(c).cast("long") * F.lit(1 << bit))
+    return total
+
+
+def null_rates(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One wide agg: (column, n_null, n_rows, null_rate) long-form."""
+    cols = cols or df.columns
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(F.isnull(c).cast("long")).alias(f"_null_{c}") for c in cols],
+    )
+    stack = ", ".join(f"'{c}', _null_{c}" for c in cols)
+    return agg.select(
+        F.expr(f"stack({len(cols)}, {stack}) as (column, n_null)"), F.col("_n").alias("n_rows")
+    ).select(
+        "column",
+        "n_null",
+        "n_rows",
+        (F.col("n_null") / F.col("n_rows")).alias("null_rate"),
+    )
+
+
+def impute_median(df: DataFrame, cols: list[str], *, exact: bool = True) -> DataFrame:
+    """SimpleImputer(strategy='median') — one agg fits all medians."""
+    pct = (lambda c: F.percentile(c, F.lit(0.5))) if exact else (
+        lambda c: F.percentile_approx(c, F.lit(0.5), 10_000)
+    )
+    meds = df.agg(
+        *[pct(F.col(c).cast("double")).alias(c) for c in cols]
+    ).collect()[0]
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(meds[c])))
+    return out
+
+
+def impute_mode(df: DataFrame, cols: list[str]) -> DataFrame:
+    """SimpleImputer(strategy='most_frequent') — F.mode is a real
+    aggregate (partial+final), one pass for all columns."""
+    modes = df.agg(*[F.mode(F.col(c)).alias(c) for c in cols]).collect()[0]
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(modes[c])))
+    return out

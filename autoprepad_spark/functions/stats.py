@@ -1,0 +1,137 @@
+"""Robust-statistics expression builders — generalized over any numeric
+column (the engine's n_tok checks are one instantiation).
+
+Reference formulas reproduced exactly:
+* Tukey fences: Q1 - k*IQR / Q3 + k*IQR, k=1.5
+  (/root/reference/pipelines/preprocessing/statistical/TukeyTransformer.py:33-42)
+* modified Z: 0.6745*(x - median)/MAD, flag |z| > 3.5
+  (MedianAbsolutDeviation.py:36-61)
+* Z score: (x - mean)/std(ddof=1), flag |z| > 3 (ZTransformerMean.py:32-58)
+* MinMax rescale of scores (pipelines/runs.py:200-201)
+* Robust scale (x - median)/IQR (pipelines/configuration.py:192-194)
+* top-k% percentile labeling (pipelines/runs.py:211-214)
+* percentile sweep 1..100 for PR curves (experiment.py:394-405)
+
+Each `fit_*` is ONE aggregation (partial+final, sketch-compatible);
+each `*_flag`/`*_scale` is a pure Column expression (whole-stage codegen).
+Zero-spread guards: constant columns never flag (MAD==0 -> 0, std==0 -> 0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TUKEY_K = 1.5
+MAD_SCALE = 0.6745
+MAD_THRESHOLD = 3.5
+Z_THRESHOLD = 3.0
+
+
+def _pct(col: Column, probs, exact: bool):
+    if exact:
+        return F.percentile(col, probs)
+    return F.percentile_approx(col, probs, 10_000)
+
+
+@dataclass(frozen=True)
+class RobustStats:
+    mean: float
+    std: float  # ddof=1
+    q1: float
+    median: float
+    q3: float
+    mad: float
+    vmin: float
+    vmax: float
+
+    @property
+    def iqr(self) -> float:
+        return self.q3 - self.q1
+
+    @property
+    def tukey_lo(self) -> float:
+        return self.q1 - TUKEY_K * self.iqr
+
+    @property
+    def tukey_hi(self) -> float:
+        return self.q3 + TUKEY_K * self.iqr
+
+
+def fit_robust(df: DataFrame, col: str, *, exact: bool = True) -> RobustStats:
+    """All univariate fit statistics in one agg + the MAD second pass."""
+    c = F.col(col).cast("double")
+    row = df.agg(
+        F.avg(c).alias("mean"),
+        F.stddev_samp(c).alias("std"),
+        _pct(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), exact).alias("q"),
+        F.min(c).alias("vmin"),
+        F.max(c).alias("vmax"),
+    ).collect()[0]
+    med = float(row["q"][1]) if row["q"] else 0.0
+    mad_row = df.agg(_pct(F.abs(c - F.lit(med)), F.lit(0.5), exact).alias("mad")).collect()[0]
+    return RobustStats(
+        mean=float(row["mean"] or 0.0),
+        std=float(row["std"] or 0.0),
+        q1=float(row["q"][0]) if row["q"] else 0.0,
+        median=med,
+        q3=float(row["q"][2]) if row["q"] else 0.0,
+        mad=float(mad_row["mad"] or 0.0),
+        vmin=float(row["vmin"] or 0.0),
+        vmax=float(row["vmax"] or 0.0),
+    )
+
+
+def tukey_flag(col: Column, stats: RobustStats) -> Column:
+    return ((col < stats.tukey_lo) | (col > stats.tukey_hi)).cast("int")
+
+
+def mad_flag(col: Column, stats: RobustStats) -> Column:
+    if stats.mad <= 0:
+        return F.lit(0)
+    z = MAD_SCALE * (col - stats.median) / stats.mad
+    return (F.abs(z) > MAD_THRESHOLD).cast("int")
+
+
+def zscore_flag(col: Column, stats: RobustStats) -> Column:
+    if stats.std <= 0:
+        return F.lit(0)
+    return (F.abs((col - stats.mean) / stats.std) > Z_THRESHOLD).cast("int")
+
+
+def flag_total(*flags: Column) -> Column:
+    """Row-wise horizontal sum of 0/1 flags (TukeyTransformerTotal.py:25-36)."""
+    total = flags[0]
+    for f in flags[1:]:
+        total = total + f
+    return total.cast("int")
+
+
+def minmax_scale(col: Column, vmin: float, vmax: float) -> Column:
+    if vmax == vmin:
+        return F.lit(0.0)
+    return (col - vmin) / (vmax - vmin)
+
+
+def robust_scale(col: Column, stats: RobustStats) -> Column:
+    if stats.iqr == 0:
+        return F.lit(0.0)
+    return (col - stats.median) / stats.iqr
+
+
+def percentile_threshold(df: DataFrame, col: str, pct: float = 0.9, *, exact: bool = True) -> float:
+    """Threshold for top-(1-pct) labeling (runs.py:211-214, default top 10%)."""
+    c = F.col(col).cast("double")
+    return float(df.agg(_pct(c, F.lit(pct), exact).alias("t")).collect()[0]["t"])
+
+
+def percentile_sweep(df: DataFrame, col: str, *, exact: bool = True) -> DataFrame:
+    """(pct 1..100, value) in ONE aggregation (experiment.py:394-405 ran 100
+    separate np.percentile calls; here a single percentile array + explode)."""
+    c = F.col(col).cast("double")
+    probs = F.array(*[F.lit(i / 100.0) for i in range(1, 101)])
+    agg = df.agg(_pct(c, probs, exact).alias("vals"))
+    return agg.select(
+        F.posexplode("vals").alias("idx", "value")
+    ).select((F.col("idx") + 1).alias("pct"), "value")

@@ -1,0 +1,253 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference counterpart (AutoPrepAD's nearest analog is the Spearman
+duplicate-COLUMN check); these are the standard corpus-dedup family,
+expressed Spark-first:
+
+* exact          — hash-groupBy on normalized text (one shuffle on a
+                   16-byte key, never on the text itself)
+* minhash + LSH  — shingle -> 64-bit hash -> k min-hashes (ONE agg over
+                   the exploded shingles, k mins computed together) ->
+                   banded bucket join for candidates -> exact-Jaccard
+                   verify on candidates only
+* simhash        — per-bit majority of token hashes (64 sums in one agg),
+                   near-dup candidates via 16-bit band buckets
+* n-gram Jaccard — inverted-index self-join on distinct shingles;
+                   intersection counts fall out of a groupBy, no pairwise
+                   cross product ever materializes
+
+Scale notes: every candidate generator keys its shuffle on a hash value
+(uniform by construction — no skew); hot shingles (stopword n-grams) are
+capped with a document-frequency filter before the self-join, which is
+the standard guard against the quadratic blowup of common shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+MERSENNE_61 = (1 << 61) - 1
+# minhash permutations operate mod 2^31 so a*h + b stays within a signed
+# 64-bit long under ANSI arithmetic (a, h < 2^31 -> a*h < 2^62)
+HASH_DOMAIN = 1 << 31
+
+
+def normalize_text(col) -> F.Column:
+    """lower + collapse whitespace — the canonical form for exact dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) texts: (text_hash, dup_count,
+    doc_ids). Shuffles 16-byte md5 keys, not documents."""
+    h = F.md5(normalize_text(text_col)).alias("text_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def word_shingles(text_col: str, k: int = 3) -> F.Column:
+    """Distinct word k-shingles as an array column (JVM-side, no UDF)."""
+    words = F.split(normalize_text(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array(F.concat_ws(" ", words))
+    )
+
+
+def _shingle_hashes(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, h) — one row per distinct shingle, hashed to 64 bits."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(text_col, k)).alias("_sh"),
+    ).select("_id", F.pmod(F.xxhash64("_sh"), F.lit(HASH_DOMAIN)).alias("_h"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig:array<long>) — num_hashes min-hash values per doc.
+
+    All permutations h_i(x) = (a_i*x + b_i) mod p are evaluated in ONE
+    aggregation over the exploded shingle hashes (num_hashes F.min
+    columns), so the corpus is scanned once however many hashes we use.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    params = [
+        (rnd.randrange(1, HASH_DOMAIN), rnd.randrange(0, HASH_DOMAIN))
+        for _ in range(num_hashes)
+    ]
+    hashes = _shingle_hashes(df, text_col, id_col, k_shingle)
+    mins = [
+        F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = hashes.groupBy("_id").agg(*mins)
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_candidates(
+    signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Bucket key = hash(band slice) — uniform, shuffle-friendly. Pair
+    generation happens per bucket via a self-join on the bucket key;
+    bucket sizes are bounded by construction (identical band = near-dup),
+    so the join never degenerates.
+    """
+    num_hashes = len(signatures.select("sig").first()["sig"])
+    rows_per_band = num_hashes // bands
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(F.col(id_col).alias("_id"), F.explode(band_cols).alias("bb")).select(
+        "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing a shingle.
+
+    inverted index -> self-join on shingle hash -> intersection counts in
+    one groupBy -> |A|,|B| joined back -> J = inter/(|A|+|B|-inter).
+    max_doc_freq drops ubiquitous shingles (stopword n-grams) before the
+    self-join — the standard skew guard; without it one hot shingle
+    produces df^2 pair rows.
+    """
+    sh = _shingle_hashes(df, text_col, id_col, k_shingle).distinct()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_doc_freq is not None:
+        freq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("_h"), "_h")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "_h")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash:long) — per-bit majority vote of token hashes.
+
+    explode words -> xxhash64 -> for each bit position sum(±1) -> sign.
+    The 64 bit-sums are computed in ONE aggregation (64 sum columns),
+    then reassembled into the fingerprint with bit arithmetic — all
+    JVM-side expressions.
+    """
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("_w"),
+    ).select("_id", F.xxhash64("_w").alias("_h"))
+    sums = words.groupBy("_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        # shiftleft handles bit 63 (wraps into the sign bit) — a Python
+        # 1 << 63 literal would overflow the signed-long literal range
+        fp = fp + F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col("_id").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_candidates(fps: DataFrame, *, id_col: str = "doc_id", band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates: docs sharing any 16-bit band of the simhash
+    (Hamming distance <= 3 guaranteed found with 4 bands of 16 bits)."""
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
+            )
+            for i in range(nbands)
+        ]
+    )
+    ex = fps.select(F.col(id_col).alias("_id"), "simhash", F.explode(bands).alias("bb")).select(
+        "_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs

@@ -41,15 +41,19 @@ CHI2_ALPHA = 1e-6
 def ntok_histogram(
     df: DataFrame,
     *,
+    value_col: str = "n_tok",
+    group_col: str = "source",
     bucket_width: int = DEFAULT_BUCKET_WIDTH,
     salted: bool = False,
     salts: int = 16,
 ) -> DataFrame:
-    """(source, bucket, cnt) histogram of n_tok — one agg pass."""
-    bucket = F.floor(F.col("n_tok") / F.lit(bucket_width)).cast("int").alias("bucket")
-    base = df.filter(F.col("n_tok").isNotNull() & F.col("source").isNotNull())
+    """(source, bucket, cnt) histogram of the value column — one agg pass."""
+    bucket = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("int").alias("bucket")
+    base = df.filter(F.col(value_col).isNotNull() & F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("source"), F.col(value_col).alias(value_col)
+    )
     if salted:
-        salt = F.pmod(F.xxhash64("doc_id"), F.lit(salts))
+        salt = F.pmod(F.xxhash64(F.col(value_col).cast("string")), F.lit(salts))
         p1 = base.groupBy("source", bucket, salt.alias("_s")).agg(
             F.count(F.lit(1)).alias("_c")
         )

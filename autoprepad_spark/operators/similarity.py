@@ -1,0 +1,222 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+No reference counterpart (AutoPrepAD's KMedoids transformer is dead code,
+/root/reference/pipelines/preprocessing/estimator/KMedian.py:39-62); this
+is the standard ANN family for training-data pipelines:
+
+* brute-force cosine top-k — the exactness baseline. Queries are
+  broadcast (small side), the corpus streams once; per-query top-k via
+  window rank, which AQE executes as a partial top-k per partition.
+* LSH (random hyperplanes) — deterministic seeded planes, sign-bit
+  signature, bucket join; only bucket-mates are scored. The scale path:
+  shuffle keys are signature hashes (uniform), corpus scored fraction
+  ~ bucket collision rate instead of 100%.
+* IVF — coarse quantizer from a deterministic corpus sample; vectors are
+  assigned to their nearest centroid cell, queries probe `nprobe` cells.
+
+Vector math is JVM-side (functions.arrays — zip_with/aggregate in
+whole-stage codegen); centroid assignment uses a vectorized pandas UDF
+(numpy matmul over Arrow batches) because an N_centroid-way argmax is
+matrix work, not expression work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+
+from autoprepad_spark.functions.arrays import cosine, dot, l2_norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    (query_id, neighbor_id, cos_sim, rank); self-matches excluded.
+    Broadcast the queries (small), stream the corpus once.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = c.join(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine("_qv", "_cv").alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Sign-bit signature against fixed hyperplanes — a long per vector."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: score only bucket-mates across n_tables hash tables."""
+    dim = len(corpus.select(vec_col).first()[0])
+    cands = None
+    for t in range(n_tables):
+        planes = _random_planes(dim, n_planes, seed + t)
+        sig = lsh_signature(vec_col, planes)
+        cb = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), sig.alias("_b"))
+        qb = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), sig.alias("_b"))
+        pair = cb.join(F.broadcast(qb), "_b").drop("_b")
+        cands = pair if cands is None else cands.unionByName(pair)
+    cands = cands.filter(F.col("neighbor_id") != F.col("query_id")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine("_qv", "_cv").alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Vectorized nearest-centroid assignment: one numpy matmul per batch."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cn.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_build(
+    corpus: DataFrame,
+    *,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """Assign each vector to an IVF cell. Centroids = deterministic seeded
+    sample of the corpus (k-means init without the iterations — adequate
+    as a coarse quantizer; swap in pyspark.ml KMeans for tighter cells).
+    """
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")) + seed, F.lit(997)), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
+    assign = _assign_udf(centroids)
+    assigned = corpus.withColumn("cell", assign(F.col(vec_col)))
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest cells per query, exact-score inside them."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    qrows = queries.select(id_col, vec_col).collect()
+    probe = []
+    for r in qrows:
+        v = np.array(list(r[vec_col]), dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        cells = np.argsort(-(cn @ v))[:nprobe]
+        for c in cells:
+            probe.append((r[id_col], int(c), list(map(float, r[vec_col]))))
+    spark = assigned.sparkSession
+    qdf = spark.createDataFrame(
+        probe, f"query_id long, cell int, _qv array<double>"
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
+    ).join(F.broadcast(qdf), "cell").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select("query_id", "neighbor_id", cosine("_qv", "_cv").alias("cos_sim")).dropDuplicates(
+        ["query_id", "neighbor_id"]
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, LSH-bucketed: only pairs
+    agreeing on a full signature in some table are scored."""
+    dim = len(corpus.select(vec_col).first()[0])
+    pairs = None
+    for t in range(n_tables):
+        planes = _random_planes(dim, n_planes, seed + t)
+        sig = lsh_signature(vec_col, planes)
+        b = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_b"))
+        p = (
+            b.alias("a").join(b.alias("b"), "_b")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a._v").alias("_va"),
+                F.col("b._v").alias("_vb"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs.select("id_a", "id_b", cosine("_va", "_vb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

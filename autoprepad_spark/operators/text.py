@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All native Column expressions (regexp/split/length — whole-stage codegen);
+no reference counterpart (AutoPrepAD's nearest string op is the char-class
+pattern encoder, CategoricalPatterns.py:46-92, exposed in
+functions.patterns). Every function is deterministic and SQL-portable so
+the DuckDB oracle can replicate it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from autoprepad_spark.operators.dedup import normalize_text
+
+#: tiny deterministic stopword profiles for the n-gram language heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "pour", "que", "une"],
+    "es": ["el", "la", "los", "y", "de", "que", "en", "un", "por", "con"],
+}
+
+
+def whitespace_token_count(col: Column | str) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: count of word pieces + digits + punctuation
+    runs (regexp_count — one pass, codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")) / F.length(c)
+    )
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(normalize_text(c), " ")
+    hits = F.size(
+        F.filter(words, lambda w: w.isin(*LANG_STOPWORDS[lang]))
+    )
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(hits / F.size(words))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(normalize_text(c), " ")
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(words)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite 0-1 quality heuristic: length band + low punctuation +
+    plausible mean word length. Deterministic, SQL-portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(
+        F.when(n > 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    )
+    punct_ok = F.when(punct_ratio(c) <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_length(c)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + mwl_ok) / F.lit(3.0)
+
+
+def lang_scores(col: Column | str) -> list[Column]:
+    """Per-language stopword-hit counts (whole-word regexp, one pass per
+    language)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = []
+    for lang, words in LANG_STOPWORDS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out.append(F.regexp_count(F.lower(c), F.lit(pat)).alias(f"score_{lang}"))
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax language by stopword hits; 'und' (undetermined) when all 0."""
+    scores = lang_scores(col)
+    langs = list(LANG_STOPWORDS.keys())
+    pairs = F.array(
+        *[F.struct(s.alias("score"), F.lit(lang).alias("lang")) for s, lang in zip(scores, langs)]
+    )
+    # array_max on struct compares lexicographically (score first);
+    # ties broken by lang name — deterministic.
+    best = F.array_max(pairs)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Stable content fingerprint: md5 of the normalized text.
+
+    md5 (not xxhash64) so heterogeneous engines agree — the fingerprint
+    is a cross-system contract, not an internal shuffle key.
+    """
+    return F.md5(normalize_text(col))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document text feature frame."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        whitespace_token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(mean_word_length(c), 6).alias("mean_word_len"),
+        F.round(quality_score(c), 6).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        doc_fingerprint(c).alias("fingerprint"),
+    )

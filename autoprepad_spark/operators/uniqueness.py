@@ -28,14 +28,18 @@ def duplicate_keys(
     *,
     salts: int = DEFAULT_SALTS,
     salted: bool = True,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Keys appearing more than once: (key, dup_count).
 
     Null keys are excluded — nullness is the completeness check's job.
+    salt_cols: content columns to derive the deterministic salt from;
+    defaults to every non-key column.
     """
     keyed = df.filter(F.col(key).isNotNull())
     if salted:
-        salt = F.pmod(F.xxhash64(F.col("tokens"), F.col("n_tok")), F.lit(salts))
+        salt_cols = salt_cols or [c for c in df.columns if c != key]
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salts))
         phase1 = keyed.groupBy(F.col(key), salt.alias("_salt")).agg(
             F.count(F.lit(1)).alias("_cnt")
         )
