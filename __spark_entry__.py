@@ -306,6 +306,27 @@ def q_null_fingerprint(spark, sf):
     return ev.groupBy(fp.alias("fingerprint")).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_ordinal_encode(spark, sf):
+    from autoprepad_spark.functions.encoders import fit_vocabulary, ordinal_encode
+
+    cu = _t(spark, sf, "customer")
+    vocab = fit_vocabulary(cu, "c_mktsegment")
+    enc = ordinal_encode(cu, "c_mktsegment", vocab)
+    return enc.groupBy(
+        "c_mktsegment", F.col("c_mktsegment_ord").cast("long").alias("ord")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_binary_encode(spark, sf):
+    from autoprepad_spark.functions.encoders import binary_encode, fit_vocabulary
+
+    pt = _t(spark, sf, "part")
+    vocab = fit_vocabulary(pt, "p_brand")
+    enc = binary_encode(pt, "p_brand", vocab, n_bits=5)
+    bits = [F.col(f"p_brand_bin_{i}").cast("long").alias(f"bit{i}") for i in range(5)]
+    return enc.groupBy("p_brand", *bits).agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_charclass_pattern(spark, sf):
     pt = _t(spark, sf, "part")
     return pt.groupBy(
@@ -399,11 +420,25 @@ def q_embedding_lsh_topk(spark, sf):  # rows-only: plane family engine-specific
     return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_multimodal_features(spark, sf):  # rows-only: decode step is stubbed
+    from autoprepad_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=64, seed=42)
+    out = extract_features(media, fake_decode=True)
+    return out.select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("ok").cast("long").alias("ok"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feature_sum"),
+    )
+
+
 def q_validate_tokens(spark, sf):  # rows-only: north-rule engine end-to-end
     from autoprepad_spark import ValidationSuite
     from autoprepad_spark.datagen import generate_tokens, source_dim
 
-    df = generate_tokens(spark, 50_000, seed=42, n_parts=8)
+    # cache: the suite runs several actions over the generated table;
+    # without this every action re-runs the mapInPandas generator
+    df = generate_tokens(spark, 50_000, seed=42, n_parts=8).cache()
     res = ValidationSuite().run(df, dim=source_dim(spark))
     return res.verdicts.orderBy("part", "check_name")
 
@@ -433,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "datetime_parts": q_datetime_parts,
         "null_fingerprint": q_null_fingerprint,
+        "ordinal_encode": q_ordinal_encode,
+        "binary_encode": q_binary_encode,
         "charclass_pattern": q_charclass_pattern,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -442,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_psi": q_drift_psi,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "multimodal_features": q_multimodal_features,
         "validate_tokens": q_validate_tokens,
     }
 
@@ -616,6 +654,28 @@ def oracle_sql() -> dict[str, str]:
                   + CASE WHEN event_type = 'signup' THEN 2 ELSE 0 END)::BIGINT AS fingerprint,
                    count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "ordinal_encode": """
+            WITH v AS (SELECT c_mktsegment AS value,
+                              (row_number() OVER (ORDER BY count(*) DESC, c_mktsegment ASC) - 1) AS idx
+                       FROM customer GROUP BY 1)
+            SELECT c.c_mktsegment, v.idx::BIGINT AS ord, count(*) AS n
+            FROM customer c JOIN v ON v.value = c.c_mktsegment
+            GROUP BY 1, 2
+        """,
+        "binary_encode": """
+            WITH v AS (SELECT p_brand AS value,
+                              row_number() OVER (ORDER BY count(*) DESC, p_brand ASC) AS code
+                       FROM part GROUP BY 1)
+            SELECT p.p_brand,
+                   (floor(code / 16) % 2)::BIGINT AS bit0,
+                   (floor(code / 8) % 2)::BIGINT AS bit1,
+                   (floor(code / 4) % 2)::BIGINT AS bit2,
+                   (floor(code / 2) % 2)::BIGINT AS bit3,
+                   (code % 2)::BIGINT AS bit4,
+                   count(*) AS n
+            FROM part p JOIN v ON v.value = p.p_brand
+            GROUP BY 1, 2, 3, 4, 5, 6
         """,
         "charclass_pattern": """
             SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(

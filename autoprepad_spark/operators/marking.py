@@ -105,6 +105,37 @@ def _list_stats(tokens: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def _arrow_flag_udf(stats: ProfileStats, vocab_size: int):
+    """Scalar-feed Arrow UDF: all predicates evaluate vectorized in Python
+    over Arrow batches, but the token-array reductions (size/min/max) are
+    computed JVM-side first so the heavy ``tokens`` column never crosses
+    the JVM->Python boundary. At 10^12 rows this is the difference between
+    shipping ~5 doubles/row and shipping the whole token payload (~200
+    int32s/row) through Arrow."""
+
+    @F.pandas_udf(_FLAG_STRUCT)
+    def flags(
+        doc_null: pd.Series, length: pd.Series, tmin: pd.Series,
+        tmax: pd.Series, n_tok: pd.Series,
+    ) -> pd.DataFrame:
+        lengths = length.to_numpy(dtype=np.int64, na_value=-1)
+        tok_min = tmin.to_numpy(dtype=np.float64, na_value=0.0)
+        tok_max = tmax.to_numpy(dtype=np.float64, na_value=0.0)
+        nt = n_tok.to_numpy(dtype=np.float64, na_value=np.nan)
+        out = _flags_numpy(
+            doc_null.to_numpy(dtype=bool), lengths, tok_min, tok_max,
+            nt, stats, vocab_size,
+        )
+        return pd.DataFrame(out)
+
+    return flags
+
+
+def _arrow_deep_flag_udf(stats: ProfileStats, vocab_size: int):
+    """Deep variant: the token arrays themselves cross into Python and are
+    reduced with Arrow ListArray offsets + np.reduceat. Kept as a parity
+    cross-check for the scalar-feed path (and for callers that need custom
+    per-token predicates Python-side)."""
+
     @F.pandas_udf(_FLAG_STRUCT)
     def flags(doc_id: pd.Series, tokens: pd.Series, n_tok: pd.Series) -> pd.DataFrame:
         lengths, tok_min, tok_max = _list_stats(tokens)
@@ -162,6 +193,21 @@ def mark(
     """
     if engine == "arrow":
         udf = _arrow_flag_udf(stats, vocab_size)
+        out = df.withColumn(
+            "_flags",
+            udf(
+                F.isnull("doc_id"),
+                F.coalesce(F.size("tokens"), F.lit(-1)).cast("long"),
+                F.array_min("tokens").cast("double"),
+                F.array_max("tokens").cast("double"),
+                F.col("n_tok").cast("double"),
+            ),
+        )
+        for f in FLAG_COLS:
+            out = out.withColumn(f, F.col("_flags")[f])
+        out = out.drop("_flags")
+    elif engine == "arrow_deep":
+        udf = _arrow_deep_flag_udf(stats, vocab_size)
         out = df.withColumn("_flags", udf("doc_id", "tokens", "n_tok"))
         for f in FLAG_COLS:
             out = out.withColumn(f, F.col("_flags")[f])

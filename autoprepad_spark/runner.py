@@ -1,0 +1,103 @@
+"""CLI entry point — run the validation suite via spark-submit.
+
+Cluster launch (the north-rule shape):
+
+    zip -r autoprepad_spark.zip autoprepad_spark
+    spark-submit --py-files autoprepad_spark.zip \\
+        --master <cluster> --num-executors <N> \\
+        -m autoprepad_spark.runner \\  # or: path to this file
+        --input iceberg.db.tokens --dim iceberg.db.sources \\
+        --output /warehouse/validation/run1 --run-id run1 \\
+        --checkpoint /warehouse/validation/_lineage
+
+Sandbox launch (local master picked from $SPARK_GRAFT_CPUS):
+
+    python -m autoprepad_spark.runner --input /tmp/tok.parquet \\
+        --output /tmp/out --run-id r1
+
+Writes: <output>/verdicts (parquet), <output>/violations (parquet),
+appends per-partition lineage rows to the checkpoint table, prints a
+one-line JSON summary. Re-running with the same --run-id resumes:
+completed partitions are pruned from the scan.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="autoprepad_spark validator")
+    ap.add_argument("--input", required=True, help="parquet path or table name")
+    ap.add_argument("--dim", default=None, help="allowed-source dim table/path")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--checkpoint", default=None, help="lineage table dir")
+    ap.add_argument("--baseline-hist", default=None, help="baseline histogram parquet")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--approx", action="store_true",
+                    help="sketch quantiles instead of exact histogram")
+    args = ap.parse_args(argv)
+
+    from autoprepad_spark.session import get_spark
+    from autoprepad_spark.plans.suite import ValidationSuite
+    from autoprepad_spark.plans.checkpoint import CheckpointTable
+
+    spark = get_spark("autoprepad-runner", cores=args.cores)
+
+    def load(ref: str):
+        if "/" in ref or ref.endswith(".parquet"):
+            return spark.read.parquet(ref)
+        return spark.read.table(ref)
+
+    df = load(args.input)
+    dim = load(args.dim) if args.dim else None
+    baseline = load(args.baseline_hist) if args.baseline_hist else None
+    ck = CheckpointTable(spark, args.checkpoint) if args.checkpoint else None
+
+    t0 = time.perf_counter()
+    suite = ValidationSuite(exact_quantiles=not args.approx)
+    res = suite.run(
+        df, dim=dim, baseline_hist=baseline, checkpoint=ck, run_id=args.run_id
+    )
+    res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
+    res.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
+    if res.drift is not None:
+        res.drift.write.mode("overwrite").parquet(f"{args.output}/drift")
+
+    per_part = (
+        res.verdicts.groupBy("part")
+        .agg(
+            F.max("row_count").alias("n_rows"),
+            F.sum("violation_count").alias("n_violations"),
+        )
+        .collect()
+    )
+    elapsed = time.perf_counter() - t0
+    if ck is not None:
+        ck.mark(
+            args.run_id,
+            [(r["part"], r["n_rows"] or 0, r["n_violations"] or 0, elapsed)
+             for r in per_part],
+        )
+
+    n_fail = res.verdicts.filter(F.col("status") == "fail").count()
+    summary = {
+        "run_id": args.run_id,
+        "rows": res.stats.n_rows,
+        "partitions_validated": len(per_part),
+        "failed_checks": n_fail,
+        "elapsed_sec": round(elapsed, 2),
+    }
+    print(json.dumps(summary))
+    res.unpersist()
+    return 0 if n_fail == 0 else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -162,8 +162,14 @@ _SAFE_WIDENING: dict[type, tuple[type, ...]] = {
 
 
 def _safe_castable(actual: T.DataType, expected: T.DataType) -> bool:
+    # containsNull is metadata, not a type difference: parquet/Iceberg
+    # round-trips read list elements as nullable regardless of how they
+    # were written, so array<int> (containsNull either way) conforms as
+    # long as element types conform.
     if isinstance(actual, T.ArrayType) and isinstance(expected, T.ArrayType):
-        return _safe_castable(actual.elementType, expected.elementType)
+        return actual.elementType == expected.elementType or _safe_castable(
+            actual.elementType, expected.elementType
+        )
     allowed = _SAFE_WIDENING.get(type(expected), ())
     return isinstance(actual, allowed)
 

@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # G1 (the JDK17 default) collapses under 32 concurrent task threads
+        # here (single aggs regress 10-30x from GC storms); throughput GC
+        # restores linear behavior. On a cluster this is
+        # spark.executor.extraJavaOptions.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         # files.maxPartitionBytes default 128m is right for the 100TB target;
         # keep it explicit so the intent is visible.

@@ -1,0 +1,143 @@
+"""Structured Streaming surface: incremental validation of arriving token
+files + windowed streaming profiles.
+
+The reference is strictly batch (SURVEY.md §2.8) and the north rule is
+resumable batch, so streaming is an ADDITIVE capability: the same
+constraint suite applied incrementally as new Iceberg snapshots / parquet
+files land, with exactly-once sink semantics from the streaming
+checkpoint.
+
+Design:
+
+* ``stream_validate`` — ``readStream`` over the token table directory ->
+  ``foreachBatch``. Each micro-batch applies TRAIN-FITTED stats (the
+  reference's fit-then-predict split: pipelines/runs.py:139-198 applies
+  train statistics to test data) through the same Arrow-UDF marking pass
+  as batch, appends violation rows and per-(batch, part) verdicts to
+  parquet sinks. ``Trigger.AvailableNow`` drains the backlog and stops —
+  the scheduled-incremental-validation mode; omit it for continuous.
+  State: none (marking is a pure map) — restart safety comes entirely
+  from the checkpoint's file-source log, so a killed job resumes at the
+  last unfinished batch without duplicating sink rows.
+* ``stream_profile`` — pure streaming aggregation: event-time windowed
+  per-source counts/null-rates with a watermark for late data. Uses
+  native windowed aggs (partial+final, mergeable state store) — the
+  streaming analog of the profile pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from autoprepad_spark.operators.marking import mark
+from autoprepad_spark.operators.profile import ProfileStats
+from autoprepad_spark.operators.referential import referential_violations
+from autoprepad_spark.plans import verdicts as V
+from autoprepad_spark.plans.suite import ALL_CHECKS
+from autoprepad_spark.schema import TOKENS_SCHEMA
+
+
+def stream_validate(
+    spark: SparkSession,
+    input_path: str,
+    *,
+    stats: ProfileStats,
+    checkpoint_dir: str,
+    verdict_path: str,
+    violation_path: str,
+    dim: DataFrame | None = None,
+    vocab_size: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start the incremental validator; returns the StreamingQuery.
+
+    Uniqueness is intentionally NOT evaluated per-batch (a global property
+    cannot be decided on a file subset); run the batch suite for it.
+    """
+    reader = (
+        spark.readStream.schema(TOKENS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+        .parquet(input_path)
+    )
+
+    kwargs = {} if vocab_size is None else {"vocab_size": vocab_size}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
+        try:
+            marked = mark(batch_df, stats, **kwargs)
+            viol = V.explode_violations(marked)
+            if dim is not None:
+                ref = referential_violations(batch_df, dim).select(
+                    "part",
+                    F.lit("ref_source").alias("check_name"),
+                    "doc_id",
+                    F.col("source").alias("detail"),
+                )
+                viol = viol.unionByName(ref)
+            viol = viol.cache()
+            row_counts = batch_df.groupBy("part").agg(
+                F.count(F.lit(1)).alias("row_count")
+            )
+            checks = [c for c in ALL_CHECKS if c != "unique_doc_id"]
+            if dim is None:
+                checks = [c for c in checks if c != "ref_source"]
+            verd = V.assemble_verdicts(row_counts, viol, checks).withColumn(
+                "batch_id", F.lit(batch_id)
+            )
+            viol.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(violation_path)
+            verd.write.mode("append").parquet(verdict_path)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_profile(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "source",
+    value_col: str = "n_tok",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed profile over a streaming DataFrame.
+
+    Returns the transformed streaming frame; caller attaches a sink. The
+    agg is fully mergeable (counts/sums/min/max) so state per (window,
+    key) is constant-size — safe for unbounded streams; the watermark
+    bounds state retention for late data.
+    """
+    v = F.col(value_col).cast("double")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.isnull(v).cast("long")).alias("n_null"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+            F.avg(v).alias("mean_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_rows",
+            "n_null",
+            "min_value",
+            "max_value",
+            "mean_value",
+        )
+    )
