@@ -171,6 +171,16 @@ def q_impute_median(spark, sf):
     )
 
 
+def q_no_variance(spark, sf):
+    ev = (
+        _t(spark, sf, "events")
+        .withColumn("const", F.lit(5.0))
+        .withColumn("halfnull", F.when(F.col("event_type") == "error", None).otherwise(F.col("value")))
+    )
+    rep = FS.variance_report(ev, ["value", "const", "halfnull"])
+    return rep.select("column", F.round("stddev", 4).alias("stddev"), "n_null", "dropped")
+
+
 def q_mode_per_group(spark, sf):
     cu = _t(spark, sf, "customer")
     counts = cu.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("cnt"))
@@ -403,6 +413,52 @@ def q_drift_psi(spark, sf):
     return out.select("source", F.round("psi", 6).alias("psi"))
 
 
+def q_drift_chi2(spark, sf):
+    d = _t(spark, sf, "documents")
+    base = DR.ntok_histogram(d, value_col="n_chars", bucket_width=50)
+    half = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(*"01234567")
+    cur = DR.ntok_histogram(d.filter(half), value_col="n_chars", bucket_width=50)
+    out = DR.drift(base, cur)
+    return out.select(
+        "source",
+        F.round("chi2_stat", 4).alias("chi2_stat"),
+        F.col("chi2_dof").cast("long").alias("chi2_dof"),
+    )
+
+
+def q_stream_profile(spark, sf):  # rows-only: streaming micro-batch engine
+    import tempfile
+
+    from autoprepad_spark.streaming.validate import stream_profile
+
+    # FileStreamSource needs a directory: stream the sf dir, glob-filtered
+    # to the events table file
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .withColumnRenamed("value", "n_tok")
+    )
+    out = stream_profile(stream, key_col="event_type", window="1 day", watermark="2 days")
+    name = "q_stream_prof_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strmck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"select window_start, event_type, n_rows, round(mean_value, 4) as mean_value"
+        f" from {name}"
+    )
+
+
 def q_embedding_topk(spark, sf):
     em = _t(spark, sf, "embeddings")
     q = em.filter(F.col("vec_id") < 10)
@@ -432,6 +488,14 @@ def q_multimodal_features(spark, sf):  # rows-only: decode step is stubbed
     )
 
 
+def q_embedding_ivf_topk(spark, sf):  # rows-only: centroid init engine-specific
+    em = _t(spark, sf, "embeddings")
+    q = em.filter(F.col("vec_id") < 10)
+    assigned, centroids = SIM.ivf_build(em, n_cells=8, seed=42)
+    out = SIM.ivf_topk(assigned, centroids, q, k=5, nprobe=3)
+    return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def q_validate_tokens(spark, sf):  # rows-only: north-rule engine end-to-end
     from autoprepad_spark import ValidationSuite
     from autoprepad_spark.datagen import generate_tokens, source_dim
@@ -455,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_scale": q_minmax_scale,
         "robust_scale": q_robust_scale,
         "impute_median": q_impute_median,
+        "no_variance": q_no_variance,
         "mode_per_group": q_mode_per_group,
         "value_counts": q_value_counts,
         "percentile_sweep": q_percentile_sweep,
@@ -477,8 +542,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "text_profile": q_text_profile,
         "drift_psi": q_drift_psi,
+        "drift_chi2": q_drift_chi2,
+        "stream_profile": q_stream_profile,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "validate_tokens": q_validate_tokens,
     }
@@ -585,6 +653,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, round(avg(coalesce(value, med)), 6) AS avg_value,
                    count(*) AS n_rows
             FROM ev, m GROUP BY 1
+        """,
+        "no_variance": """
+            WITH ev AS (SELECT value, 5.0 AS const,
+                               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS halfnull
+                        FROM events)
+            SELECT 'value' AS "column", round(stddev_samp(value), 4) AS stddev,
+                   (count(*) - count(value)) AS n_null,
+                   (coalesce(stddev_samp(value), 0) = 0 OR count(*) - count(value) > 0) AS dropped
+            FROM ev
+            UNION ALL
+            SELECT 'const', round(stddev_samp(const), 4), count(*) - count(const),
+                   coalesce(stddev_samp(const), 0) = 0 OR count(*) - count(const) > 0
+            FROM ev
+            UNION ALL
+            SELECT 'halfnull', round(stddev_samp(halfnull), 4), count(*) - count(halfnull),
+                   coalesce(stddev_samp(halfnull), 0) = 0 OR count(*) - count(halfnull) > 0
+            FROM ev
         """,
         "mode_per_group": """
             WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS cnt
@@ -754,6 +839,30 @@ def oracle_sql() -> dict[str, str]:
                        FROM j JOIN t ON j.source = t.source)
             SELECT source, round(sum((cp - bp) * ln(cp / bp)), 6) AS psi
             FROM p GROUP BY 1
+        """,
+        "stream_profile": """
+            SELECT date_trunc('day', ts) AS window_start, event_type,
+                   count(*) AS n_rows, round(avg(value), 4) AS mean_value
+            FROM events GROUP BY 1, 2
+        """,
+        "drift_chi2": """
+            WITH b AS (SELECT source, floor(n_chars / 50)::INT AS bucket, count(*) AS cnt
+                       FROM documents GROUP BY 1, 2),
+                 c AS (SELECT source, floor(n_chars / 50)::INT AS bucket, count(*) AS cnt
+                       FROM documents
+                       WHERE substr(md5(doc_id::VARCHAR), 1, 1) IN
+                             ('0','1','2','3','4','5','6','7')
+                       GROUP BY 1, 2),
+                 j AS (SELECT coalesce(b.source, c.source) AS source,
+                              coalesce(b.cnt, 0) AS bc, coalesce(c.cnt, 0) AS cc
+                       FROM b FULL OUTER JOIN c ON b.source = c.source AND b.bucket = c.bucket),
+                 t AS (SELECT source, sum(bc) AS tb, sum(cc) AS tc FROM j GROUP BY 1),
+                 m AS (SELECT j.source, bc, cc, tb, tc FROM j JOIN t ON j.source = t.source
+                       WHERE bc > 0)
+            SELECT source,
+                   round(sum(pow(cc - (bc / tb) * tc, 2) / ((bc / tb) * tc)), 4) AS chi2_stat,
+                   (count(*) - 1)::BIGINT AS chi2_dof
+            FROM m GROUP BY 1
         """,
         "embedding_topk": """
             WITH pairs AS (

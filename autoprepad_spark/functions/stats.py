@@ -135,3 +135,36 @@ def percentile_sweep(df: DataFrame, col: str, *, exact: bool = True) -> DataFram
     return agg.select(
         F.posexplode("vals").alias("idx", "value")
     ).select((F.col("idx") + 1).alias("pct"), "value")
+
+
+def variance_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column stddev + null count + drop decision, one wide agg pass.
+
+    Reference parity: remove_no_variance_columns drops columns with
+    std()==0.0 OR containing any NaN after transform
+    (/root/reference/pipelines/runs.py:310-365, std at 333, isna at 335).
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.stddev_samp(F.col(c).cast("double")).alias(f"_s_{c}"))
+        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"_n_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for c in cols:
+        s, n = row[f"_s_{c}"], int(row[f"_n_{c}"])
+        dropped = (s is None or float(s) == 0.0) or n > 0
+        out.append((c, float(s) if s is not None else None, n, dropped))
+    return df.sparkSession.createDataFrame(
+        out, "column string, stddev double, n_null long, dropped boolean"
+    )
+
+
+def prune_no_variance(
+    df: DataFrame, cols: list[str], *, protect: tuple[str, ...] = ()
+) -> DataFrame:
+    """Drop no-variance / any-null columns (runs.py:310-365); `protect`
+    mirrors the experiment variant that preserves MAD_Total/Tukey_Total
+    (experiment.py:551-559)."""
+    rep = variance_report(df, [c for c in cols if c not in protect])
+    to_drop = [r["column"] for r in rep.collect() if r["dropped"]]
+    return df.drop(*to_drop)

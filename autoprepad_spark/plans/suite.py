@@ -80,6 +80,7 @@ class ValidationSuite:
         checkpoint: CheckpointTable | None = None,
         run_id: str | None = None,
         stats: ProfileStats | None = None,
+        violation_sink: str | None = None,
     ) -> ValidationResult:
         issues = []
         if self.validate_input_schema:
@@ -135,14 +136,22 @@ class ValidationSuite:
         violations = parts[0]
         for p in parts[1:]:
             violations = violations.unionByName(p)
-        # The violation set is tiny by construction. Cache AND materialize
-        # it eagerly: consuming it lazily through downstream joins does
-        # not reliably populate the cache (observed: the verdict DAG's
-        # broadcast side bypassed it), which silently re-ran the marking
-        # pass + uniqueness shuffle per consumer. One eager pass here =
-        # the single execution of the violation branches per run.
-        violations = violations.cache()
-        violations.count()
+        # Materialize the violation set ONCE, eagerly — consuming it
+        # lazily through downstream joins does not reliably populate a
+        # cache (observed: the verdict DAG's broadcast side bypassed it),
+        # which silently re-ran the marking pass + uniqueness shuffle per
+        # consumer. With a sink configured (the production shape: an
+        # Iceberg/parquet violations table), materialization is a fully
+        # distributed write and verdict counts aggregate from the sink;
+        # without one, fall back to an in-memory cache + eager count.
+        cached = []
+        if violation_sink is not None:
+            violations.write.mode("overwrite").parquet(violation_sink)
+            violations = df.sparkSession.read.parquet(violation_sink)
+        else:
+            violations = violations.cache()
+            violations.count()
+            cached.append(violations)
 
         row_counts = todo.groupBy("part").agg(F.count(F.lit(1)).alias("row_count"))
         check_names = ALL_CHECKS if dim is not None else [
@@ -164,5 +173,5 @@ class ValidationSuite:
             marked=marked,
             drift=drift_df,
             schema_issues=issues,
-            _cached=[violations],
+            _cached=cached,
         )

@@ -98,15 +98,21 @@ def run_headline() -> None:
 
 
 def _hash_df(df) -> str:
-    """Order-insensitive sha256 of a DataFrame's rows (driver-side)."""
-    rows = sorted(
-        "|".join(str(v) for v in row) for row in df.collect()
+    """Order-insensitive hash of a DataFrame's rows, computed
+    distributed: xxhash64 per canonicalized row, summed (order-free),
+    plus the row count. Collision odds are negligible for a
+    did-the-outputs-diverge check."""
+    from pyspark.sql import functions as F
+
+    row_str = F.concat_ws(
+        "|",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in df.columns],
     )
-    h = hashlib.sha256()
-    for r in rows:
-        h.update(r.encode())
-        h.update(b"\n")
-    return h.hexdigest()[:16]
+    agg = df.agg(
+        F.sum(F.xxhash64(row_str).cast("decimal(38,0)")).alias("h"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return hashlib.sha256(f"{agg['h']}|{agg['n']}".encode()).hexdigest()[:16]
 
 
 def run_worker(cores: int, rows: int) -> None:
@@ -150,11 +156,17 @@ def run_worker(cores: int, rows: int) -> None:
     ValidationSuite().run(warm, dim=dim).verdicts.count()
 
     # three measured runs, keep the fastest: isolates steady-state
-    # throughput from residual JIT/GC warmup + page-cache noise
+    # throughput from residual JIT/GC warmup + page-cache noise.
+    # Violations go to a parquet sink (the production shape — an Iceberg
+    # violations table): materialization is a distributed write, verdict
+    # counts aggregate from the sink.
+    sink = os.path.join(
+        os.environ.get("SPARK_BENCH_TMP", "/tmp"), f"bench_sink_{cores}"
+    )
     elapsed = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        res = ValidationSuite().run(df, dim=dim)
+        res = ValidationSuite().run(df, dim=dim, violation_sink=sink)
         n_verdicts = res.verdicts.count()
         n_viol = res.violations.count()
         elapsed = min(elapsed, time.perf_counter() - t0)
@@ -259,8 +271,28 @@ parallelism levels ({n["n_verdicts"]} verdict rows, {n["n_violations"]}
 violation rows at both).
 
 Reproduce: `python bench.py --scaling {s["rows"]}`
+
+## Run history (this host, identical code+input may vary ±20% between
+## invocations — virtualized neighbors; efficiency reported above is the
+## latest run, history kept for variance transparency)
+
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    history = []
+    if os.path.exists(path):
+        with open(path) as f:
+            lines = f.read().splitlines()
+        history = [l for l in lines if l.startswith("- `{")]
+    history.append(
+        "- `" + json.dumps({
+            "rows": s["rows"], "eff": s["value"],
+            "n_cores": nc, "n_rows_per_sec": n["rows_per_sec"],
+            "n4_cores": n4c, "n4_rows_per_sec": n4["rows_per_sec"],
+            "identical": s["outputs_identical"],
+        }) + "`"
+    )
+    md += "\n".join(history) + "\n"
+    with open(path, "w") as f:
         f.write(md)
 
 
