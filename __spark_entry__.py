@@ -42,8 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
     sf = "/root/testdata/sf0.001"
     li = _t(spark, sf, "lineitem")
     rows = []
-    for col in ["l_quantity", "l_extendedprice", "l_discount"]:
-        st = FS.fit_robust(li, col)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    stats = FS.fit_robust_multi(li, cols)
+    for col in cols:
+        st = stats[col]
         c = F.col(col).cast("double")
         agg = li.agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -123,10 +125,9 @@ def q_zscore_flags(spark, sf):
 
 def q_flag_totals(spark, sf):
     li = _t(spark, sf, "lineitem")
-    flags = []
-    for col in ["l_quantity", "l_extendedprice", "l_discount"]:
-        st = FS.fit_robust(li, col)
-        flags.append(FS.tukey_flag(F.col(col).cast("double"), st))
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    stats = FS.fit_robust_multi(li, cols)
+    flags = [FS.tukey_flag(F.col(c).cast("double"), stats[c]) for c in cols]
     return (
         li.withColumn("flag_total", FS.flag_total(*flags).cast("long"))
         .groupBy("flag_total")
@@ -378,7 +379,9 @@ def q_ngram_jaccard(spark, sf):
 def q_minhash_dedup(spark, sf):  # rows-only: LSH hash family is engine-specific
     docs = _docs_with_dups(spark, sf)
     sigs = DD.minhash_signatures(docs, text_col="text", id_col="doc_id")
-    return DD.minhash_candidates(sigs, id_col="doc_id").orderBy("id_a", "id_b")
+    return DD.minhash_candidates(sigs, id_col="doc_id", num_hashes=32).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_simhash_dedup(spark, sf):  # rows-only

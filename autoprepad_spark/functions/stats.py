@@ -168,3 +168,45 @@ def prune_no_variance(
     rep = variance_report(df, [c for c in cols if c not in protect])
     to_drop = [r["column"] for r in rep.collect() if r["dropped"]]
     return df.drop(*to_drop)
+
+
+def fit_robust_multi(
+    df: DataFrame, cols: list[str], *, exact: bool = True
+) -> dict[str, RobustStats]:
+    """Fit statistics for MANY columns in two scans total (one wide agg
+    for mean/std/quantiles/min/max across all columns, one for the MADs)
+    — the reference fits each transformer eagerly per column
+    (pipelines/runs.py:139), which at scale means 2 scans per column;
+    here the passes are fused."""
+    aggs = []
+    for c in cols:
+        cc = F.col(c).cast("double")
+        aggs += [
+            F.avg(cc).alias(f"mean_{c}"),
+            F.stddev_samp(cc).alias(f"std_{c}"),
+            _pct(cc, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), exact).alias(f"q_{c}"),
+            F.min(cc).alias(f"min_{c}"),
+            F.max(cc).alias(f"max_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    meds = {c: float(row[f"q_{c}"][1]) if row[f"q_{c}"] else 0.0 for c in cols}
+    mad_row = df.agg(
+        *[
+            _pct(F.abs(F.col(c).cast("double") - F.lit(meds[c])), F.lit(0.5), exact).alias(f"mad_{c}")
+            for c in cols
+        ]
+    ).collect()[0]
+    out = {}
+    for c in cols:
+        q = row[f"q_{c}"]
+        out[c] = RobustStats(
+            mean=float(row[f"mean_{c}"] or 0.0),
+            std=float(row[f"std_{c}"] or 0.0),
+            q1=float(q[0]) if q else 0.0,
+            median=meds[c],
+            q3=float(q[2]) if q else 0.0,
+            mad=float(mad_row[f"mad_{c}"] or 0.0),
+            vmin=float(row[f"min_{c}"] or 0.0),
+            vmax=float(row[f"max_{c}"] or 0.0),
+        )
+    return out

@@ -111,6 +111,7 @@ def minhash_candidates(
     *,
     id_col: str = "doc_id",
     bands: int = 8,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
@@ -119,7 +120,8 @@ def minhash_candidates(
     bucket sizes are bounded by construction (identical band = near-dup),
     so the join never degenerates.
     """
-    num_hashes = len(signatures.select("sig").first()["sig"])
+    if num_hashes is None:  # driver peek = one full pipeline execution
+        num_hashes = len(signatures.select("sig").first()["sig"])
     rows_per_band = num_hashes // bands
     band_cols = F.array(
         *[
@@ -135,6 +137,10 @@ def minhash_candidates(
     buckets = signatures.select(F.col(id_col).alias("_id"), F.explode(band_cols).alias("bb")).select(
         "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # tiny (n_docs x bands rows) — cache so the shingle+minhash pipeline
+    # upstream executes once, not once per self-join side
+    buckets = buckets.cache()
+    buckets.count()
     a = buckets.alias("a")
     b = buckets.alias("b")
     pairs = (
