@@ -1,0 +1,161 @@
+"""Unit tests for the training-data pipeline operators (dedup, text,
+similarity, encoders) on tiny hand-checkable frames — the reference's
+inline example-based check pattern (SURVEY.md §5.1) with real asserts."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from autoprepad_spark.operators import dedup as DD
+from autoprepad_spark.operators import similarity as SIM
+from autoprepad_spark.operators import text as TX
+from autoprepad_spark.functions.encoders import (
+    binary_encode,
+    fit_vocabulary,
+    ordinal_encode,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different text about spark engines and data"),
+        (5, "Der schnelle braune Fuchs springt und springt und der Hund"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_duplicates(docs):
+    groups = DD.exact_duplicates(docs, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 2
+
+
+def test_jaccard_pairs(docs):
+    pairs = DD.jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", k_shingle=3, threshold=0.5,
+        max_doc_freq=None,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == pytest.approx(1.0)  # identical
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0  # near dup
+    assert not any(4 in p for p in got)  # unrelated doc pairs with no one
+
+
+def test_minhash_identical_docs_always_candidates(docs):
+    sigs = DD.minhash_signatures(docs, text_col="text", id_col="doc_id")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_candidates(sigs, id_col="doc_id", num_hashes=32).collect()
+    }
+    assert (1, 2) in cand  # identical docs share every band
+    assert (1, 4) not in cand and (2, 4) not in cand  # disjoint shingles
+
+
+def test_simhash_hamming(docs):
+    fps = DD.simhash(docs, text_col="text", id_col="doc_id")
+    vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
+    assert vals[1] == vals[2]  # identical text -> identical fingerprint
+    ham_near = bin(vals[1] ^ vals[3]).count("1")
+    ham_far = bin(vals[1] ^ vals[4]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]], "l") for i in range(30)]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    q = em.filter(F.col("vec_id") < 3)
+    got = SIM.brute_force_topk(em, q, k=4).collect()
+
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for qi in range(3):
+        order = [
+            j for j in np.argsort(-sims[qi], kind="stable") if j != qi
+        ][:4]
+        mine = [r["neighbor_id"] for r in got if r["query_id"] == qi]
+        mine = [x for _, x in sorted(
+            [(r["rank"], r["neighbor_id"]) for r in got if r["query_id"] == qi]
+        )]
+        assert mine == order, (qi, mine, order)
+
+
+def test_lsh_topk_recall(spark):
+    # clustered corpus: LSH recall is only meaningful when neighbors are
+    # actually close (uniform random points defeat any locality hash)
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 16)) * 4.0
+    vecs = np.vstack(
+        [centers[i % 6] + rng.normal(size=16) * 0.3 for i in range(60)]
+    ).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]], "l") for i in range(60)]
+    em = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    q = em.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(em, q, k=3).collect()
+    approx = SIM.lsh_topk(em, q, k=3).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # LSH is approximate: require recall >= 50% on this tiny set, and
+    # every returned cos_sim must be exact (scoring is not approximated)
+    assert len(exact_set & approx_set) >= len(exact_set) // 2
+    for r in approx:
+        v = vecs[r["query_id"]] / np.linalg.norm(vecs[r["query_id"]])
+        w = vecs[r["neighbor_id"]] / np.linalg.norm(vecs[r["neighbor_id"]])
+        assert r["cos_sim"] == pytest.approx(float(v @ w), abs=1e-5)
+
+
+def test_text_profile_features(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "The cat and the dog are in the house with all of them."),
+            (2, "Der Hund und die Katze sind mit der Maus in einem Haus."),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in TX.text_profile(d).collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"
+    assert out[1]["n_tokens"] == 13
+    assert out[3]["n_tokens"] == 0 and out[3]["lang_pred"] == "und"
+    assert out[1]["fingerprint"] != out[2]["fingerprint"]
+
+
+def test_encoders_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in ["b", "a", "a", "c", "a", "b", None]], ["cat"]
+    )
+    vocab = fit_vocabulary(df, "cat")
+    v = {r["value"]: r["index"] for r in vocab.collect()}
+    assert v == {"a": 0, "b": 1, "c": 2}  # freq desc, value asc
+
+    enc = ordinal_encode(df, "cat", vocab).collect()
+    assert {r["cat"]: r["cat_ord"] for r in enc if r["cat"]} == {"a": 0, "b": 1, "c": 2}
+    assert [r["cat_ord"] for r in enc if r["cat"] is None] == [-1]
+
+    b = binary_encode(df, "cat", vocab, n_bits=2).collect()
+    codes = {r["cat"]: (r["cat_bin_0"], r["cat_bin_1"]) for r in b if r["cat"]}
+    assert codes == {"a": (0, 1), "b": (1, 0), "c": (1, 1)}
+    assert [(r["cat_bin_0"], r["cat_bin_1"]) for r in b if r["cat"] is None] == [(0, 0)]
+
+
+def test_suite_drift_path(spark, tokens_df, dim_df):
+    from autoprepad_spark.operators.drift import ntok_histogram
+    from autoprepad_spark.plans.suite import ValidationSuite
+    from autoprepad_spark import datagen as G
+
+    baseline = ntok_histogram(tokens_df)
+    # drifted current: shift web's n_tok distribution
+    drifted = G.generate_tokens(
+        spark, 40_000, seed=42, n_parts=8, drift_source="web", drift_shift=1.0
+    )
+    res = ValidationSuite().run(drifted, dim=dim_df, baseline_hist=baseline)
+    d = {r["source"]: r for r in res.drift.collect()}
+    assert d["web"]["status"] == "fail" and d["web"]["psi"] > 0.2
+    ok_sources = [s for s, r in d.items() if s != "web" and r["status"] == "pass"]
+    assert len(ok_sources) >= 5  # undrifted sources pass
