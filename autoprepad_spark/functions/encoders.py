@@ -21,18 +21,41 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 
-def fit_vocabulary(df: DataFrame, col: str) -> DataFrame:
-    """(value, index) vocabulary, frequency-desc / value-asc order."""
-    counts = df.filter(F.col(col).isNotNull()).groupBy(col).agg(
-        F.count(F.lit(1)).alias("_cnt")
+def fit_vocabulary(df: DataFrame, col: str, *, max_vocab: int = 1_000_000) -> DataFrame:
+    """(value, index) vocabulary, frequency-desc / value-asc order.
+
+    The counting pass is a distributed hash agg; index assignment sorts
+    the (value, count) pairs driver-side — deterministic at any
+    parallelism, with no single-task global window in the plan. A fitted
+    vocabulary must be broadcast-joinable to be applied at all, so the
+    driver-side sort adds no new scale ceiling; ``max_vocab`` makes the
+    assumption explicit (raise instead of silently OOMing the driver)."""
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .limit(max_vocab + 1)
+        .collect()
     )
-    w = W.orderBy(F.desc("_cnt"), F.asc(col))
-    return counts.select(
-        F.col(col).alias("value"),
-        (F.row_number().over(w) - 1).cast("int").alias("index"),
+    if len(counts) > max_vocab:
+        raise ValueError(
+            f"vocabulary for {col!r} exceeds max_vocab={max_vocab}; "
+            "a high-cardinality column should use hashing, not an encoder"
+        )
+    ordered = sorted(counts, key=lambda r: (-r["_cnt"], r[col]))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("value", df.schema[col].dataType),
+            T.StructField("index", T.IntegerType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(
+        [(r[col], i) for i, r in enumerate(ordered)], schema
     )
 
 
@@ -58,11 +81,26 @@ def binary_encode(
     Bit columns decompose (ordinal index + 1); unknowns encode as index 0
     = all-zero bits, mirroring category_encoders.BinaryEncoder's
     1-based codes with 0 reserved for unknown.
+
+    When ``n_bits`` is supplied no Spark action runs here (the width is
+    taken on trust for plan building) — but the decomposition still
+    guards against silent truncation: any index too wide for ``n_bits``
+    raises at execution time instead of colliding with a narrower code.
     """
-    k = vocab.count()
-    b = n_bits or max(1, math.ceil(math.log2(k + 1)))
+    if n_bits is None:
+        k = vocab.count()
+        b = max(1, math.ceil(math.log2(k + 1)))
+    else:
+        b = n_bits
     out = ordinal_encode(df, col, vocab, unknown_value=-1)
     code = F.col(f"{col}_ord") + F.lit(1)  # -1 (unknown) -> 0
+    # execution-time truncation guard: raise rather than collide codes
+    code = F.when(
+        code >= F.lit(1 << b),
+        F.raise_error(
+            F.lit(f"binary_encode: vocabulary index overflows n_bits={b} for {col!r}")
+        ).cast("int"),
+    ).otherwise(code)
     for i in range(b):
         out = out.withColumn(
             f"{col}_bin_{i}",

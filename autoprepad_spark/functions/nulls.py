@@ -55,14 +55,29 @@ def null_rates(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
 
 
-def impute_median(df: DataFrame, cols: list[str], *, exact: bool = True) -> DataFrame:
-    """SimpleImputer(strategy='median') — one agg fits all medians."""
-    pct = (lambda c: F.percentile(c, F.lit(0.5))) if exact else (
-        lambda c: F.percentile_approx(c, F.lit(0.5), 10_000)
-    )
-    meds = df.agg(
-        *[pct(F.col(c).cast("double")).alias(c) for c in cols]
-    ).collect()[0]
+def impute_median(df: DataFrame, cols: list[str], *, method: str = "hist") -> DataFrame:
+    """SimpleImputer(strategy='median') — one scan fits all medians.
+
+    ``hist`` (default): exact medians from value-count histograms (no
+    ObjectHashAggregate — see functions.stats); ``approx``:
+    percentile_approx sketch for unbounded domains."""
+    if method == "hist":
+        from autoprepad_spark.functions.stats import _col_histograms
+        from autoprepad_spark.operators.profile import weighted_quantiles
+
+        hists = _col_histograms(df, cols)
+        meds = {
+            c: (weighted_quantiles(v, n, [0.5])[0] if v.size else None)
+            for c, (v, n) in hists.items()
+        }
+    else:
+        pct = (lambda c: F.percentile(c, F.lit(0.5))) if method == "exact" else (
+            lambda c: F.percentile_approx(c, F.lit(0.5), 10_000)
+        )
+        row = df.agg(
+            *[pct(F.col(c).cast("double")).alias(c) for c in cols]
+        ).collect()[0]
+        meds = {c: row[c] for c in cols}
     out = df
     for c in cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(meds[c])))

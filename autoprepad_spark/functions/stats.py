@@ -15,13 +15,30 @@ Reference formulas reproduced exactly:
 Each `fit_*` is ONE aggregation (partial+final, sketch-compatible);
 each `*_flag`/`*_scale` is a pure Column expression (whole-stage codegen).
 Zero-spread guards: constant columns never flag (MAD==0 -> 0, std==0 -> 0).
+
+Quantile strategy (``method=`` on every fit):
+* ``hist`` (default) — value-count histogram: groupBy(value).count() is a
+  plain codegen hash agg (mergeable, spillable); quantiles/median/MAD
+  and the moments derive driver-side from the (value, count) pairs with
+  numpy linear-interpolation parity — EXACT results without
+  F.percentile's ObjectHashAggregate, which buffers every row as boxed
+  objects (measured 3-10x slower under parallelism from GC pressure and
+  non-viable at 10^12 rows). Correct for bounded-cardinality domains
+  (ints, bounded decimals — every distinct value becomes one agg cell).
+* ``approx`` — percentile_approx KLL-style sketch for genuinely
+  continuous/unbounded domains (document the rsd tolerance).
+* ``exact`` — legacy F.percentile (ObjectHashAggregate); kept as an
+  oracle-debug escape hatch, not a production path.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
+
+from autoprepad_spark.operators.profile import mad_from_counts, weighted_quantiles
 
 TUKEY_K = 1.5
 MAD_SCALE = 0.6745
@@ -33,6 +50,66 @@ def _pct(col: Column, probs, exact: bool):
     if exact:
         return F.percentile(col, probs)
     return F.percentile_approx(col, probs, 10_000)
+
+
+def _col_histograms(
+    df: DataFrame, cols: list[str]
+) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Per-column (values, counts) histograms from ONE scan.
+
+    All columns' values go through a single explode -> groupBy(col, value)
+    hash agg; map-side partial aggregation collapses the explode before
+    the shuffle, so the exchanged data is bounded by the value domains,
+    not the row count."""
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("c"), F.col(c).cast("double").alias("v")
+                )
+                for c in cols
+            ]
+        )
+    )
+    rows = (
+        df.select(pairs.alias("p"))
+        .select(F.col("p.c").alias("c"), F.col("p.v").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("c", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out: dict[str, list] = {c: ([], []) for c in cols}
+    for r in rows:
+        out[r["c"]][0].append(r["v"])
+        out[r["c"]][1].append(r["n"])
+    return {
+        c: (np.asarray(v, dtype=np.float64), np.asarray(n, dtype=np.int64))
+        for c, (v, n) in out.items()
+    }
+
+
+def _robust_from_hist(v: np.ndarray, c: np.ndarray) -> "RobustStats":
+    """Exact RobustStats derived from a (values, counts) histogram.
+
+    Mean/std are computed two-pass in float64 over the RLE histogram —
+    numerically the same as numpy over the expanded data (ddof=1)."""
+    if v.size == 0:
+        return RobustStats(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    n = int(c.sum())
+    mean = float(np.dot(v, c) / n)
+    var = float(np.dot(c, (v - mean) ** 2) / (n - 1)) if n > 1 else 0.0
+    q1, med, q3 = weighted_quantiles(v, c, [0.25, 0.5, 0.75])
+    return RobustStats(
+        mean=mean,
+        std=float(np.sqrt(var)),
+        q1=q1,
+        median=med,
+        q3=q3,
+        mad=mad_from_counts(v, c, med),
+        vmin=float(v.min()),
+        vmax=float(v.max()),
+    )
 
 
 @dataclass(frozen=True)
@@ -59,28 +136,9 @@ class RobustStats:
         return self.q3 + TUKEY_K * self.iqr
 
 
-def fit_robust(df: DataFrame, col: str, *, exact: bool = True) -> RobustStats:
-    """All univariate fit statistics in one agg + the MAD second pass."""
-    c = F.col(col).cast("double")
-    row = df.agg(
-        F.avg(c).alias("mean"),
-        F.stddev_samp(c).alias("std"),
-        _pct(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), exact).alias("q"),
-        F.min(c).alias("vmin"),
-        F.max(c).alias("vmax"),
-    ).collect()[0]
-    med = float(row["q"][1]) if row["q"] else 0.0
-    mad_row = df.agg(_pct(F.abs(c - F.lit(med)), F.lit(0.5), exact).alias("mad")).collect()[0]
-    return RobustStats(
-        mean=float(row["mean"] or 0.0),
-        std=float(row["std"] or 0.0),
-        q1=float(row["q"][0]) if row["q"] else 0.0,
-        median=med,
-        q3=float(row["q"][2]) if row["q"] else 0.0,
-        mad=float(mad_row["mad"] or 0.0),
-        vmin=float(row["vmin"] or 0.0),
-        vmax=float(row["vmax"] or 0.0),
-    )
+def fit_robust(df: DataFrame, col: str, *, method: str = "hist") -> RobustStats:
+    """All univariate fit statistics; ``hist`` needs ONE scan total."""
+    return fit_robust_multi(df, [col], method=method)[col]
 
 
 def tukey_flag(col: Column, stats: RobustStats) -> Column:
@@ -120,18 +178,31 @@ def robust_scale(col: Column, stats: RobustStats) -> Column:
     return (col - stats.median) / stats.iqr
 
 
-def percentile_threshold(df: DataFrame, col: str, pct: float = 0.9, *, exact: bool = True) -> float:
+def percentile_threshold(
+    df: DataFrame, col: str, pct: float = 0.9, *, method: str = "hist"
+) -> float:
     """Threshold for top-(1-pct) labeling (runs.py:211-214, default top 10%)."""
+    if method == "hist":
+        v, c = _col_histograms(df, [col])[col]
+        if v.size == 0:
+            return 0.0
+        return weighted_quantiles(v, c, [pct])[0]
     c = F.col(col).cast("double")
-    return float(df.agg(_pct(c, F.lit(pct), exact).alias("t")).collect()[0]["t"])
+    return float(df.agg(_pct(c, F.lit(pct), method == "exact").alias("t")).collect()[0]["t"])
 
 
-def percentile_sweep(df: DataFrame, col: str, *, exact: bool = True) -> DataFrame:
-    """(pct 1..100, value) in ONE aggregation (experiment.py:394-405 ran 100
-    separate np.percentile calls; here a single percentile array + explode)."""
+def percentile_sweep(df: DataFrame, col: str, *, method: str = "hist") -> DataFrame:
+    """(pct 1..100, value) from ONE scan (experiment.py:394-405 ran 100
+    separate np.percentile calls; here one histogram / percentile array)."""
+    if method == "hist":
+        v, c = _col_histograms(df, [col])[col]
+        vals = weighted_quantiles(v, c, [i / 100.0 for i in range(1, 101)]) if v.size else [0.0] * 100
+        return df.sparkSession.createDataFrame(
+            [(i + 1, float(x)) for i, x in enumerate(vals)], "pct int, value double"
+        )
     c = F.col(col).cast("double")
     probs = F.array(*[F.lit(i / 100.0) for i in range(1, 101)])
-    agg = df.agg(_pct(c, probs, exact).alias("vals"))
+    agg = df.agg(_pct(c, probs, method == "exact").alias("vals"))
     return agg.select(
         F.posexplode("vals").alias("idx", "value")
     ).select((F.col("idx") + 1).alias("pct"), "value")
@@ -143,16 +214,30 @@ def variance_report(df: DataFrame, cols: list[str]) -> DataFrame:
     Reference parity: remove_no_variance_columns drops columns with
     std()==0.0 OR containing any NaN after transform
     (/root/reference/pipelines/runs.py:310-365, std at 333, isna at 335).
+    pandas ``isna`` counts float NaN as missing, so floating-point
+    columns count ``isnull | isnan``; a NaN stddev (e.g. the column IS
+    all-NaN) likewise means dropped.
     """
+    import math
+
+    from pyspark.sql.types import DoubleType, FloatType
+
+    float_cols = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, (DoubleType, FloatType))
+    }
     aggs = []
     for c in cols:
+        missing = (
+            (F.isnull(c) | F.isnan(c)) if c in float_cols else F.isnull(c)
+        )
         aggs.append(F.stddev_samp(F.col(c).cast("double")).alias(f"_s_{c}"))
-        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"_n_{c}"))
+        aggs.append(F.sum(missing.cast("long")).alias(f"_n_{c}"))
     row = df.agg(*aggs).collect()[0]
     out = []
     for c in cols:
         s, n = row[f"_s_{c}"], int(row[f"_n_{c}"])
-        dropped = (s is None or float(s) == 0.0) or n > 0
+        s_bad = s is None or math.isnan(float(s)) or float(s) == 0.0
+        dropped = s_bad or n > 0
         out.append((c, float(s) if s is not None else None, n, dropped))
     return df.sparkSession.createDataFrame(
         out, "column string, stddev double, n_null long, dropped boolean"
@@ -171,13 +256,19 @@ def prune_no_variance(
 
 
 def fit_robust_multi(
-    df: DataFrame, cols: list[str], *, exact: bool = True
+    df: DataFrame, cols: list[str], *, method: str = "hist"
 ) -> dict[str, RobustStats]:
-    """Fit statistics for MANY columns in two scans total (one wide agg
-    for mean/std/quantiles/min/max across all columns, one for the MADs)
-    — the reference fits each transformer eagerly per column
-    (pipelines/runs.py:139), which at scale means 2 scans per column;
-    here the passes are fused."""
+    """Fit statistics for MANY columns, fused.
+
+    ``hist``: ONE scan for every column's full RobustStats (value-count
+    histograms, driver-side derivation). ``exact``/``approx``: two scans
+    total (wide agg + MAD pass), F.percentile or the KLL sketch. The
+    reference fits each transformer eagerly per column
+    (pipelines/runs.py:139) — at scale that's 2 scans per column."""
+    if method == "hist":
+        hists = _col_histograms(df, cols)
+        return {c: _robust_from_hist(*hists[c]) for c in cols}
+    exact = method == "exact"
     aggs = []
     for c in cols:
         cc = F.col(c).cast("double")

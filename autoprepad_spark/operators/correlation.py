@@ -4,44 +4,76 @@ Reference parity: SpearmanCheck warns when |Spearman rho| >= 0.98 between
 any numeric column pair (/root/reference/pipelines/preprocessing/
 statistical/SpearmanCheck.py:23-34, scipy.spearmanr over O(k^2) pairs).
 
-Spark-first: Spearman = Pearson on ranks. Ranks come from a window
-(single ordering pass per column); the Pearson correlations of ALL pairs
-are then computed in ONE aggregation from sufficient statistics
-(sum x, sum y, sum xy, sum x^2, sum y^2, n) instead of k^2 separate
-df.stat.corr jobs — one scan regardless of pair count.
+Spark-first, scale-first: Spearman = Pearson on average ranks, and the
+average rank of a value depends only on the column's value-count
+histogram (avg_rank(v) = #smaller + (count(v) + 1)/2). So ranking needs
+NO global sort / single-task window over the rows: per column, one
+distributed groupBy(value).count() hash agg; ranks derive driver-side
+from the (value, count) pairs and broadcast-join back onto the rows.
+The Pearson correlations of ALL pairs then come from sufficient
+statistics (sum x, sum y, sum xy, sum x^2, sum y^2, n) in ONE final
+scan, instead of k^2 separate df.stat.corr jobs.
 
-Tie handling matches scipy: average ranks ((rank() + cume*n)/... ) via
-the standard (rank + (count-1)/2) formulation using rank() and count()
-over the tie group.
+Cardinality contract: like every fitted-vocabulary/histogram operator in
+this engine, the distinct-value set per column must fit on the driver
+(bounded domains — ints, bounded decimals). Nulls are dropped listwise
+(rows with a null in any ranked column), matching scipy's
+nan_policy='omit' pairwise behavior for null-free columns.
+
+Tie handling matches scipy: average ranks.
 """
 
 from __future__ import annotations
 
 from itertools import combinations
 
-from pyspark.sql import DataFrame, Window as W, functions as F
+import numpy as np
+from pyspark.sql import DataFrame, functions as F, types as T
 
 SPEARMAN_WARN = 0.98  # SpearmanCheck.py:31
 
 
-def _avg_rank(col: str):
-    # average rank for ties: min_rank + (tie_count - 1)/2
-    w = W.orderBy(F.col(col))
-    tie = W.partitionBy(F.col(col))
-    return F.rank().over(w) + (F.count(F.lit(1)).over(tie) - 1) / 2.0
+def _rank_table(df: DataFrame, col: str) -> DataFrame:
+    """(value, avg_rank) over the distinct values of ``col``.
+
+    Distributed histogram -> driver-side cumulative ranks; the result is
+    |distinct| rows, broadcast-joinable by construction."""
+    rows = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .collect()
+    )
+    vals = np.array([float(r[col]) for r in rows], dtype=np.float64)
+    cnts = np.array([int(r["_cnt"]) for r in rows], dtype=np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    below = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    avg_rank = below + (cnts + 1) / 2.0
+    schema = T.StructType(
+        [
+            T.StructField("value", df.schema[col].dataType),
+            T.StructField("avg_rank", T.DoubleType()),
+        ]
+    )
+    native = [r[col] for r in rows]
+    pairs = [(native[i], float(avg_rank[j])) for j, i in enumerate(order)]
+    return df.sparkSession.createDataFrame(pairs, schema)
 
 
 def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
-    """(col_a, col_b, rho) for every pair, one agg pass over ranked data.
+    """(col_a, col_b, rho) for every pair.
 
-    Scale note: rank() needs a total order per column — a global sort.
-    For the validation engine this runs on PROFILE-SIZED samples or
-    per-partition groups, not the raw 10^12-row table (same contract as
-    the reference, which materializes the whole frame anyway).
-    """
-    ranked = df.select(
-        *[_avg_rank(c).alias(f"r_{c}") for c in cols]
-    )
+    Plan: k histogram aggs (one per column) + ONE row scan that
+    broadcast-joins the rank tables and aggregates all pairwise
+    sufficient statistics. No global window / single-partition sort
+    anywhere in the plan (asserted by tests)."""
+    ranked = df.select(*cols)
+    for c in cols:
+        rt = _rank_table(df, c).select(
+            F.col("value").alias(c), F.col("avg_rank").alias(f"r_{c}")
+        )
+        ranked = ranked.join(F.broadcast(rt), c, "inner")
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
     for c in cols:
         aggs.append(F.sum(f"r_{c}").alias(f"s_{c}"))

@@ -149,6 +149,12 @@ def minhash_candidates(
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    # Materialize the (small) pair set, then free the bucket cache so a
+    # long-lived session doesn't leak one bucket-table cache per call.
+    # Callers may .unpersist() the returned frame when done with it.
+    pairs = pairs.cache()
+    pairs.count()
+    buckets.unpersist()
     return pairs
 
 

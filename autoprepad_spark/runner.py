@@ -70,8 +70,11 @@ def main(argv: list[str] | None = None) -> int:
     if res.drift is not None:
         res.drift.write.mode("overwrite").parquet(f"{args.output}/drift")
 
+    # read the just-written (tiny) verdicts table back so the summary
+    # actions below don't re-run the verdict-assembly DAG per consumer
+    verdicts = spark.read.parquet(f"{args.output}/verdicts")
     per_part = (
-        res.verdicts.groupBy("part")
+        verdicts.groupBy("part")
         .agg(
             F.max("row_count").alias("n_rows"),
             F.sum("violation_count").alias("n_violations"),
@@ -86,7 +89,7 @@ def main(argv: list[str] | None = None) -> int:
              for r in per_part],
         )
 
-    n_fail = res.verdicts.filter(F.col("status") == "fail").count()
+    n_fail = verdicts.filter(F.col("status") == "fail").count()
     summary = {
         "run_id": args.run_id,
         "rows": res.stats.n_rows,
