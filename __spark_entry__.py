@@ -38,24 +38,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Validation report over sf0.001 lineitem: per-column robust-stat
-    outlier checks + null completeness, emitted as verdict rows."""
+    outlier checks + null completeness, emitted as verdict rows.
+
+    Two scans total: one histogram fit for every column's RobustStats
+    (fit_robust_multi), then ONE wide agg evaluating all 12 flag sums."""
     sf = "/root/testdata/sf0.001"
     li = _t(spark, sf, "lineitem")
-    rows = []
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     stats = FS.fit_robust_multi(li, cols)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
     for col in cols:
         st = stats[col]
         c = F.col(col).cast("double")
-        agg = li.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(FS.tukey_flag(c, st).cast("long")).alias("tukey"),
-            F.sum(FS.mad_flag(c, st).cast("long")).alias("mad"),
-            F.sum(FS.zscore_flag(c, st).cast("long")).alias("z"),
-            F.sum(F.isnull(col).cast("long")).alias("nulls"),
-        ).collect()[0]
-        for check, cnt in [("tukey", agg["tukey"]), ("mad", agg["mad"]),
-                           ("zscore", agg["z"]), ("null", agg["nulls"])]:
+        aggs += [
+            F.sum(FS.tukey_flag(c, st).cast("long")).alias(f"tukey_{col}"),
+            F.sum(FS.mad_flag(c, st).cast("long")).alias(f"mad_{col}"),
+            F.sum(FS.zscore_flag(c, st).cast("long")).alias(f"zscore_{col}"),
+            F.sum(F.isnull(col).cast("long")).alias(f"null_{col}"),
+        ]
+    agg = li.agg(*aggs).collect()[0]
+    rows = []
+    for col in cols:
+        for check in ("tukey", "mad", "zscore", "null"):
+            cnt = agg[f"{check}_{col}"]
             rate = cnt / agg["n_rows"] if agg["n_rows"] else 0.0
             rows.append((col, check, int(cnt), int(agg["n_rows"]), float(rate),
                          "fail" if (check == "null" and cnt > 0) or rate > 0.1 else "pass"))
@@ -368,30 +373,40 @@ def q_dedup_exact(spark, sf):
 
 
 def q_ngram_jaccard(spark, sf):
+    # doc-freq cap ON (the skew guard against hot-shingle quadratic
+    # blowup); the oracle applies the same cap, so the guard can stay
+    # active in the query the driver checks
     docs = _docs_with_dups(spark, sf)
     pairs = DD.jaccard_pairs(
         docs, text_col="text", id_col="doc_id", k_shingle=3, threshold=0.9,
-        max_doc_freq=None,
+        max_doc_freq=100,
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def q_minhash_dedup(spark, sf):  # rows-only: LSH hash family is engine-specific
+def q_minhash_dedup(spark, sf):
+    """MinHash LSH candidates, exact-Jaccard verified (the full dedup
+    pipeline). Oracle = ALL pairs with true J >= 0.9, so a green row
+    also PROVES the LSH candidate recall is 1.0 at this scale."""
     docs = _docs_with_dups(spark, sf)
     sigs = DD.minhash_signatures(docs, text_col="text", id_col="doc_id")
-    return DD.minhash_candidates(sigs, id_col="doc_id", num_hashes=32).orderBy(
-        "id_a", "id_b"
-    )
+    cands = DD.minhash_candidates(sigs, id_col="doc_id", num_hashes=32)
+    out = DD.verify_pairs_jaccard(docs, cands, threshold=0.9)
+    cands.unpersist()
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def q_simhash_dedup(spark, sf):  # rows-only
+def q_simhash_dedup(spark, sf):
+    """SimHash band candidates (8 bands of 8 bits: every hamming<=7 pair
+    is guaranteed a shared band), exact-Jaccard verified; same
+    oracle/recall proof as minhash_dedup."""
     docs = _docs_with_dups(spark, sf)
     fps = DD.simhash(docs, text_col="text", id_col="doc_id")
-    return (
-        DD.simhash_candidates(fps, id_col="doc_id")
-        .filter(F.col("hamming") <= 3)
-        .orderBy("id_a", "id_b")
+    cands = DD.simhash_candidates(fps, id_col="doc_id", band_bits=8).filter(
+        F.col("hamming") <= 7
     )
+    out = DD.verify_pairs_jaccard(docs, cands, threshold=0.9)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_text_profile(spark, sf):
@@ -475,7 +490,7 @@ def q_embedding_topk(spark, sf):
 def q_embedding_lsh_topk(spark, sf):  # rows-only: plane family engine-specific
     em = _t(spark, sf, "embeddings")
     q = em.filter(F.col("vec_id") < 10)
-    out = SIM.lsh_topk(em, q, k=5)
+    out = SIM.lsh_topk(em, q, k=5, dim=64)
     return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
@@ -497,6 +512,108 @@ def q_embedding_ivf_topk(spark, sf):  # rows-only: centroid init engine-specific
     assigned, centroids = SIM.ivf_build(em, n_cells=8, seed=42)
     out = SIM.ivf_topk(assigned, centroids, q, k=5, nprobe=3)
     return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_anomaly_scores(spark, sf):
+    """Reference predict() contract: AnomalyScore/AnomalyLabel +
+    MAD_Total/Tukey_Total, severity-sorted (runs.py:198-222, 408-438)."""
+    from autoprepad_spark.operators.scoring import predict
+
+    li = _t(spark, sf, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    stats = FS.fit_robust_multi(li, cols)
+    families = {
+        "Tukey": [FS.tukey_flag(F.col(c).cast("double"), stats[c]) for c in cols],
+        "MAD": [FS.mad_flag(F.col(c).cast("double"), stats[c]) for c in cols],
+    }
+    out = predict(li, families, pct=0.1, sort=False)
+    return (
+        out.orderBy(
+            F.desc("AnomalyScore"), F.desc("MAD_Total"), F.desc("Tukey_Total"),
+            F.asc("l_orderkey"), F.asc("l_linenumber"),
+        )
+        .limit(100)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.round("AnomalyScore", 6).alias("anomaly_score"),
+            F.col("AnomalyLabel").cast("long").alias("anomaly_label"),
+            F.col("MAD_Total").cast("long").alias("mad_total"),
+            F.col("Tukey_Total").cast("long").alias("tukey_total"),
+        )
+    )
+
+
+def _eval_frame(spark, sf):
+    """Orders with injected anomalies: every (o_orderkey % 101 == 7) row's
+    total is inflated 8x — the experiment harness's labeled-injection
+    analog (experiment.py:120-204), SQL-reproducible on both engines."""
+    od = _t(spark, sf, "orders")
+    return od.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 101 == 7).cast("int").alias("y_true"),
+        F.when(F.col("o_orderkey") % 101 == 7, F.col("o_totalprice") * 8)
+        .otherwise(F.col("o_totalprice"))
+        .cast("double")
+        .alias("value"),
+    )
+
+
+def q_eval_metrics(spark, sf):
+    """P/R/F1 of the OR-merged verdict (J5) against injected labels
+    (experiment.py:441-445, 459-539)."""
+    from autoprepad_spark.operators.evaluation import confusion, or_merge
+
+    ev = _eval_frame(spark, sf)
+    st = FS.fit_robust(ev, "value")
+    c = F.col("value")
+    pred = or_merge(
+        FS.zscore_flag(c, st), FS.mad_flag(c, st), FS.tukey_flag(c, st)
+    )
+    out = confusion(ev, F.col("y_true"), pred)
+    return out.select(
+        "tp", "fp", "fn", "tn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_pr_eval(spark, sf):
+    """1..100% PR sweep of the flag-count score vs injected labels
+    (experiment.py:394-405) — one histogram + one conditional-sum agg."""
+    from autoprepad_spark.operators.evaluation import pr_sweep
+
+    ev = _eval_frame(spark, sf)
+    st = FS.fit_robust(ev, "value")
+    c = F.col("value")
+    score = FS.flag_total(
+        FS.tukey_flag(c, st), FS.mad_flag(c, st), FS.zscore_flag(c, st)
+    )
+    scored = ev.withColumn("score", score.cast("double"))
+    out = pr_sweep(scored, "score", F.col("y_true"))
+    return out.select(
+        "pct", F.round("threshold", 6).alias("threshold"), "tp", "fp", "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_ensemble_score(spark, sf):
+    """Distributed unsupervised scorer analog (E6 slot): mean |modified Z|
+    ensemble over the numeric columns, aggregated per return flag."""
+    from autoprepad_spark.operators.scoring import ensemble_score
+
+    li = _t(spark, sf, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    stats = FS.fit_robust_multi(li, cols)
+    score = ensemble_score({c: stats[c] for c in cols})
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg(score), 6).alias("avg_score"),
+        F.round(F.max(score), 6).alias("max_score"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
 
 
 def q_validate_tokens(spark, sf):  # rows-only: north-rule engine end-to-end
@@ -551,6 +668,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "anomaly_scores": q_anomaly_scores,
+        "eval_metrics": q_eval_metrics,
+        "pr_eval": q_pr_eval,
+        "ensemble_score": q_ensemble_score,
         "validate_tokens": q_validate_tokens,
     }
 
@@ -570,6 +691,51 @@ _EV_NULLED = (
     "SELECT event_id, ts, user_id, event_type, "
     "CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value, props FROM events"
 )
+
+# robust-stat CTEs over lineitem's three numeric columns (quartiles + MAD)
+_ROBUST3 = """
+            qq AS (SELECT quantile_cont(l_quantity, 0.25) AS q1,
+                          quantile_cont(l_quantity, 0.5) AS med,
+                          quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem),
+            qm AS (SELECT quantile_cont(abs(l_quantity - med), 0.5) AS mad FROM lineitem, qq),
+            pq AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                          quantile_cont(l_extendedprice, 0.5) AS med,
+                          quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem),
+            pm AS (SELECT quantile_cont(abs(l_extendedprice - med), 0.5) AS mad FROM lineitem, pq),
+            dq AS (SELECT quantile_cont(l_discount, 0.25) AS q1,
+                          quantile_cont(l_discount, 0.5) AS med,
+                          quantile_cont(l_discount, 0.75) AS q3 FROM lineitem),
+            dm AS (SELECT quantile_cont(abs(l_discount - med), 0.5) AS mad FROM lineitem, dq)
+"""
+
+_TUKEY3 = """
+                       CASE WHEN l_quantity < qq.q1 - 1.5*(qq.q3-qq.q1)
+                             OR l_quantity > qq.q3 + 1.5*(qq.q3-qq.q1) THEN 1 ELSE 0 END
+                     + CASE WHEN l_extendedprice < pq.q1 - 1.5*(pq.q3-pq.q1)
+                             OR l_extendedprice > pq.q3 + 1.5*(pq.q3-pq.q1) THEN 1 ELSE 0 END
+                     + CASE WHEN l_discount < dq.q1 - 1.5*(dq.q3-dq.q1)
+                             OR l_discount > dq.q3 + 1.5*(dq.q3-dq.q1) THEN 1 ELSE 0 END
+"""
+
+_MAD3 = """
+                       CASE WHEN qm.mad > 0 AND abs(0.6745*(l_quantity - qq.med)/qm.mad) > 3.5 THEN 1 ELSE 0 END
+                     + CASE WHEN pm.mad > 0 AND abs(0.6745*(l_extendedprice - pq.med)/pm.mad) > 3.5 THEN 1 ELSE 0 END
+                     + CASE WHEN dm.mad > 0 AND abs(0.6745*(l_discount - dq.med)/dm.mad) > 3.5 THEN 1 ELSE 0 END
+"""
+
+# injected-anomaly eval frame over orders + its fit-stat CTEs
+_EVAL_CTES = """
+            e AS (SELECT o_orderkey,
+                         CASE WHEN o_orderkey % 101 = 7 THEN 1 ELSE 0 END AS y_true,
+                         CAST(CASE WHEN o_orderkey % 101 = 7 THEN o_totalprice * 8
+                                   ELSE o_totalprice END AS DOUBLE) AS value
+                  FROM orders),
+            s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd,
+                         quantile_cont(value, 0.25) AS q1,
+                         quantile_cont(value, 0.5) AS med,
+                         quantile_cont(value, 0.75) AS q3 FROM e),
+            md AS (SELECT quantile_cont(abs(value - med), 0.5) AS mad FROM e, s)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -783,6 +949,38 @@ def oracle_sql() -> dict[str, str]:
             sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
                    FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            freq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+            sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE df <= 100),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                      FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+        """,
+        "minhash_dedup": f"""
+            WITH d AS ({_DOCS2}),
+            words AS (SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w FROM d),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+                   FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+        """,
+        "simhash_dedup": f"""
+            WITH d AS ({_DOCS2}),
+            words AS (SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w FROM d),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+                   FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
             inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
                       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
                       GROUP BY 1, 2)
@@ -881,5 +1079,93 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(sim, 4) AS cos_sim, rank::BIGINT AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "anomaly_scores": f"""
+            WITH {_ROBUST3},
+            f AS (
+              SELECT l_orderkey, l_linenumber,
+                     ({_TUKEY3}) AS tukey_total,
+                     ({_MAD3}) AS mad_total
+              FROM lineitem, qq, qm, pq, pm, dq, dm
+            ),
+            r AS (SELECT *, tukey_total + mad_total AS raw FROM f),
+            m AS (SELECT min(raw) AS lo, max(raw) AS hi,
+                         quantile_cont(raw, 0.9) AS thr FROM r)
+            SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                   round(CASE WHEN m.hi = m.lo THEN 0.0
+                              ELSE (raw - m.lo) / CAST(m.hi - m.lo AS DOUBLE) END, 6)
+                     AS anomaly_score,
+                   (CASE WHEN raw > m.thr THEN 1 ELSE 0 END)::BIGINT AS anomaly_label,
+                   mad_total::BIGINT AS mad_total, tukey_total::BIGINT AS tukey_total
+            FROM r, m
+            ORDER BY anomaly_score DESC, mad_total DESC, tukey_total DESC,
+                     l_orderkey, l_linenumber
+            LIMIT 100
+        """,
+        "eval_metrics": f"""
+            WITH {_EVAL_CTES},
+            p AS (SELECT y_true,
+                    CASE WHEN (md.mad > 0 AND abs(0.6745*(value - s.med)/md.mad) > 3.5)
+                           OR (value < s.q1 - 1.5*(s.q3-s.q1)
+                               OR value > s.q3 + 1.5*(s.q3-s.q1)) THEN 1
+                         WHEN s.sd > 0 AND abs((value - s.mu)/s.sd) > 3 THEN 1
+                         ELSE 0 END AS y_pred
+                  FROM e, s, md),
+            cm AS (SELECT
+                     sum(CASE WHEN y_true=1 AND y_pred=1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+                     sum(CASE WHEN y_true=0 AND y_pred=1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+                     sum(CASE WHEN y_true=1 AND y_pred=0 THEN 1 ELSE 0 END)::BIGINT AS fn,
+                     sum(CASE WHEN y_true=0 AND y_pred=0 THEN 1 ELSE 0 END)::BIGINT AS tn
+                   FROM p)
+            SELECT tp, fp, fn, tn,
+                   round(tp / greatest(tp+fp, 1), 6) AS precision,
+                   round(tp / greatest(tp+fn, 1), 6) AS recall,
+                   round(CASE WHEN tp/greatest(tp+fp,1) + tp/greatest(tp+fn,1) > 0
+                         THEN 2*(tp/greatest(tp+fp,1))*(tp/greatest(tp+fn,1))
+                              / (tp/greatest(tp+fp,1) + tp/greatest(tp+fn,1))
+                         ELSE 0.0 END, 6) AS f1
+            FROM cm
+        """,
+        "pr_eval": f"""
+            WITH {_EVAL_CTES},
+            sc AS (SELECT y_true,
+                     CAST(
+                       (CASE WHEN value < s.q1 - 1.5*(s.q3-s.q1)
+                              OR value > s.q3 + 1.5*(s.q3-s.q1) THEN 1 ELSE 0 END)
+                     + (CASE WHEN md.mad > 0
+                              AND abs(0.6745*(value - s.med)/md.mad) > 3.5 THEN 1 ELSE 0 END)
+                     + (CASE WHEN s.sd > 0
+                              AND abs((value - s.mu)/s.sd) > 3 THEN 1 ELSE 0 END)
+                     AS DOUBLE) AS score
+                   FROM e, s, md),
+            q AS (SELECT quantile_cont(score, [x * 0.01 FOR x IN range(1, 101)]) AS v FROM sc),
+            t AS (SELECT i AS pct, v[i] AS thr
+                  FROM q, unnest(generate_series(1, 100)) u(i)),
+            g AS (SELECT pct, thr,
+                    sum(CASE WHEN y_true=1 AND score > thr THEN 1 ELSE 0 END)::BIGINT AS tp,
+                    sum(CASE WHEN y_true=0 AND score > thr THEN 1 ELSE 0 END)::BIGINT AS fp,
+                    sum(CASE WHEN y_true=1 AND score <= thr THEN 1 ELSE 0 END)::BIGINT AS fn
+                  FROM sc, t GROUP BY pct, thr)
+            SELECT pct, round(thr, 6) AS threshold, tp, fp, fn,
+                   round(tp / greatest(tp+fp, 1), 6) AS precision,
+                   round(tp / greatest(tp+fn, 1), 6) AS recall,
+                   round(CASE WHEN tp/greatest(tp+fp,1) + tp/greatest(tp+fn,1) > 0
+                         THEN 2*(tp/greatest(tp+fp,1))*(tp/greatest(tp+fn,1))
+                              / (tp/greatest(tp+fp,1) + tp/greatest(tp+fn,1))
+                         ELSE 0.0 END, 6) AS f1
+            FROM g
+        """,
+        "ensemble_score": f"""
+            WITH {_ROBUST3}
+            SELECT l_returnflag,
+                   round(avg((abs(0.6745*(l_quantity - qq.med)/qm.mad)
+                            + abs(0.6745*(l_extendedprice - pq.med)/pm.mad)
+                            + abs(0.6745*(l_discount - dq.med)/dm.mad)) / 3), 6) AS avg_score,
+                   round(max((abs(0.6745*(l_quantity - qq.med)/qm.mad)
+                            + abs(0.6745*(l_extendedprice - pq.med)/pm.mad)
+                            + abs(0.6745*(l_discount - dq.med)/dm.mad)) / 3), 6) AS max_score,
+                   count(*) AS n_rows
+            FROM lineitem, qq, qm, pq, pm, dq, dm
+            GROUP BY 1
         """,
     }

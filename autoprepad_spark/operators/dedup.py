@@ -158,6 +158,43 @@ def minhash_candidates(
     return pairs
 
 
+def verify_pairs_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs: (id_a, id_b, jaccard).
+
+    The canonical LSH pattern — candidates come from minhash/simhash
+    banding (cheap, probabilistic), truth from exact shingle-set overlap
+    computed ONLY for candidates. The candidate set is broadcast (tiny
+    relative to the corpus: near-dup pairs, not all pairs), so both
+    shingle joins stream the inverted index once with no extra shuffle
+    of the corpus.
+    """
+    sh = _shingle_hashes(df, text_col, id_col, k_shingle).distinct()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_h"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_h"))
+    inter = (
+        a.join(F.broadcast(pairs.select("id_a", "id_b")), "id_a")
+        .join(b, ["id_b", "_h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     *,

@@ -1,0 +1,111 @@
+"""Experiment/eval harness — quality metrics of predicted anomaly labels
+against injected ground truth.
+
+Reference parity (/root/reference/pipelines/experiment/experiment.py):
+* inject labeled anomalies, predict, OR-merge statistical flags into the
+  prediction (:441-445, np.where — J5), then precision / recall / F1 at
+  the default 10% threshold (:459-539, sklearn metrics over the joined
+  y_true/y_pred frames — J1 index-aligned join becomes a key join here)
+* the 1..100% PR sweep (:394-405) — per-percentile thresholds over the
+  score distribution, each yielding its own confusion counts.
+
+Scale shape: a confusion matrix is ONE wide aggregation of conditional
+sums (no join when y_true/y_pred are expressions over the same rows;
+when they live in different tables, broadcast-join first). The full
+100-point sweep is still ONE pass: thresholds derive from the score's
+value-count histogram driver-side, then a single agg computes 100
+(tp, fp, fn) triples as conditional sums — no 100x row blowup, no
+per-threshold jobs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from autoprepad_spark.operators.profile import weighted_quantiles
+
+
+def or_merge(pred: Column, *stat_flags: Column) -> Column:
+    """J5 verdict merge (experiment.py:441-445): any statistical flag
+    forces the prediction to 1, else the model prediction stands."""
+    cond = stat_flags[0] == 1
+    for f in stat_flags[1:]:
+        cond = cond | (f == 1)
+    return F.when(cond, F.lit(1)).otherwise(pred).cast("int")
+
+
+def confusion(df: DataFrame, y_true: Column, y_pred: Column) -> DataFrame:
+    """One-row (tp, fp, fn, tn, precision, recall, f1) from ONE agg."""
+    t = y_true.cast("int")
+    p = y_pred.cast("int")
+    agg = df.agg(
+        F.sum(((t == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((t == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((t == 1) & (p == 0)).cast("long")).alias("fn"),
+        F.sum(((t == 0) & (p == 0)).cast("long")).alias("tn"),
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    f1 = F.when(
+        prec + rec > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        prec.cast("double").alias("precision"),
+        rec.cast("double").alias("recall"),
+        f1.cast("double").alias("f1"),
+    )
+
+
+def pr_sweep(
+    df: DataFrame,
+    score_col: str,
+    y_true: Column,
+    *,
+    pcts: list[int] | None = None,
+) -> DataFrame:
+    """(pct, threshold, tp, fp, fn, precision, recall, f1) per percentile.
+
+    experiment.py:394-405 ran one np.percentile + metric pass per point;
+    here thresholds come from one score histogram and all points' counts
+    from ONE conditional-sum aggregation (labels use the reference's
+    strict ``score > threshold``, runs.py:211-214).
+    """
+    pcts = pcts or list(range(1, 101))
+    hist = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(score_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    v = np.array([float(r[score_col]) for r in hist], dtype=np.float64)
+    c = np.array([r["c"] for r in hist], dtype=np.int64)
+    thresholds = (
+        weighted_quantiles(v, c, [p / 100.0 for p in pcts]) if v.size else [0.0] * len(pcts)
+    )
+
+    t = y_true.cast("int")
+    s = F.col(score_col).cast("double")
+    aggs = []
+    for i, thr in enumerate(thresholds):
+        p = (s > F.lit(thr)).cast("int")
+        aggs += [
+            F.sum(((t == 1) & (p == 1)).cast("long")).alias(f"tp_{i}"),
+            F.sum(((t == 0) & (p == 1)).cast("long")).alias(f"fp_{i}"),
+            F.sum(((t == 1) & (p == 0)).cast("long")).alias(f"fn_{i}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+
+    out = []
+    for i, (pct, thr) in enumerate(zip(pcts, thresholds)):
+        tp, fp, fn = int(row[f"tp_{i}"]), int(row[f"fp_{i}"]), int(row[f"fn_{i}"])
+        prec = tp / max(tp + fp, 1)
+        rec = tp / max(tp + fn, 1)
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+        out.append((pct, float(thr), tp, fp, fn, prec, rec, f1))
+    return df.sparkSession.createDataFrame(
+        out,
+        "pct int, threshold double, tp long, fp long, fn long, "
+        "precision double, recall double, f1 double",
+    )

@@ -48,6 +48,10 @@ ROW_CHECKS = [
     "ntok_z",
 ]
 FLAG_COLS = [f"f_{c}" for c in ROW_CHECKS]
+#: referential check, inlined into the marking pass when the allowed-set
+#: is small enough to ship as a literal (the common dimension-table case)
+REF_CHECK = "ref_source"
+REF_FLAG = f"f_{REF_CHECK}"
 
 _FLAG_STRUCT = T.StructType([T.StructField(f, T.IntegerType()) for f in FLAG_COLS])
 
@@ -186,10 +190,19 @@ def mark(
     *,
     vocab_size: int = VOCAB_SIZE,
     engine: str = "arrow",
+    allowed_sources: list[str] | None = None,
 ) -> DataFrame:
     """Append one 0/1 flag column per row check plus ``flag_total``.
 
     Pure projection (no shuffle); input columns pass through untouched.
+
+    allowed_sources: when given, the referential check rides this same
+    pass as a JVM ``isin`` flag (``f_ref_source``) against the literal
+    allowed set — eliminating the separate fact-table scan + anti-join
+    the standalone operator costs. Correct whenever the dimension is
+    small enough to collect (the broadcast side would have to fit in
+    executor memory anyway); large dims use operators.referential.
+    Null sources are not flagged here (completeness covers them).
     """
     if engine == "arrow":
         udf = _arrow_flag_udf(stats, vocab_size)
@@ -218,8 +231,18 @@ def mark(
             out = out.withColumn(name, col)
     else:  # pragma: no cover
         raise ValueError(f"unknown engine {engine!r}")
+    flag_cols = list(FLAG_COLS)
+    if allowed_sources is not None:
+        out = out.withColumn(
+            REF_FLAG,
+            (
+                F.col("source").isNotNull()
+                & ~F.col("source").isin(*allowed_sources)
+            ).cast("int"),
+        )
+        flag_cols.append(REF_FLAG)
     # Row-wise horizontal sum (TukeyTransformerTotal.py:25-36 analog).
     total = None
-    for f in FLAG_COLS:
+    for f in flag_cols:
         total = F.col(f) if total is None else total + F.col(f)
     return out.withColumn("flag_total", total.cast("int"))

@@ -208,12 +208,44 @@ def profile(df: DataFrame, *, exact_quantiles: bool = True) -> DataFrame:
 
 
 def global_stats(df: DataFrame, *, exact_quantiles: bool = True) -> ProfileStats:
-    """Collect the global fit stats (lean global agg + histogram quantiles).
+    """Collect the global fit stats from ONE column-pruned scan.
 
-    Deliberately avoids grouped HyperLogLog and rollup here — ProfileStats
-    needs neither, and grouped HLL agg buffers (16KB+ per group at
-    rsd=0.01) evict the fast hash-agg path. The full per-partition profile
-    with HLL distinct counts lives in profile()."""
+    The n_tok value-count histogram (nulls kept as their own cell) is a
+    plain codegen hash agg; row count, min/max, mean, ddof=1 stddev AND
+    the exact quantiles/MAD all derive from it driver-side in float64 —
+    no second pass, no ObjectHashAggregate. Deliberately avoids grouped
+    HyperLogLog and rollup here — ProfileStats needs neither, and grouped
+    HLL agg buffers evict the fast hash-agg path. The full per-partition
+    profile with HLL distinct counts lives in profile()."""
+    if exact_quantiles:
+        hist = df.groupBy("n_tok").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        n_rows = int(sum(r["cnt"] for r in hist))
+        if not n_rows:
+            return ProfileStats(0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+        nn = [(r["n_tok"], r["cnt"]) for r in hist if r["n_tok"] is not None]
+        if nn:
+            v = np.array([x for x, _ in nn], dtype=np.float64)
+            c = np.array([n for _, n in nn], dtype=np.int64)
+            n = int(c.sum())
+            mean = float(np.dot(v, c) / n)
+            var = float(np.dot(c, (v - mean) ** 2) / (n - 1)) if n > 1 else 0.0
+            q1, med, q3 = weighted_quantiles(v, c, [0.25, 0.5, 0.75])
+            mad = mad_from_counts(v, c, med)
+            vmin, vmax = float(v.min()), float(v.max())
+        else:
+            mean = var = q1 = med = q3 = mad = vmin = vmax = 0.0
+        return ProfileStats(
+            n_rows=n_rows,
+            mean_n_tok=mean,
+            std_n_tok=float(np.sqrt(var)),
+            q1_n_tok=q1,
+            median_n_tok=med,
+            q3_n_tok=q3,
+            mad_n_tok=mad,
+            min_n_tok=vmin,
+            max_n_tok=vmax,
+        )
+
     row = df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("n_tok").alias("min_n_tok"),
@@ -223,37 +255,20 @@ def global_stats(df: DataFrame, *, exact_quantiles: bool = True) -> ProfileStats
     ).collect()[0]
     if not row["n_rows"]:
         return ProfileStats(0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
-
-    if exact_quantiles:
-        hist = (
-            df.filter(F.col("n_tok").isNotNull())
-            .groupBy("n_tok")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        if hist:
-            v = np.array([r["n_tok"] for r in hist], dtype=np.float64)
-            c = np.array([r["cnt"] for r in hist], dtype=np.int64)
-            q1, med, q3 = weighted_quantiles(v, c, [0.25, 0.5, 0.75])
-            mad = mad_from_counts(v, c, med)
-        else:
-            q1 = med = q3 = mad = 0.0
-    else:
-        q_row = df.select(
-            F.percentile_approx(
-                F.col("n_tok").cast("double"),
-                F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
-                10_000,
-            ).alias("q")
-        ).collect()[0]
-        q1, med, q3 = [float(x) for x in (q_row["q"] or [0.0, 0.0, 0.0])]
-        mad_row = df.select(
-            F.percentile_approx(
-                F.abs(F.col("n_tok").cast("double") - F.lit(med)), F.lit(0.5), 10_000
-            ).alias("mad")
-        ).collect()[0]
-        mad = float(mad_row["mad"] or 0.0)
-
+    q_row = df.select(
+        F.percentile_approx(
+            F.col("n_tok").cast("double"),
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            10_000,
+        ).alias("q")
+    ).collect()[0]
+    q1, med, q3 = [float(x) for x in (q_row["q"] or [0.0, 0.0, 0.0])]
+    mad_row = df.select(
+        F.percentile_approx(
+            F.abs(F.col("n_tok").cast("double") - F.lit(med)), F.lit(0.5), 10_000
+        ).alias("mad")
+    ).collect()[0]
+    mad = float(mad_row["mad"] or 0.0)
     return ProfileStats(
         n_rows=int(row["n_rows"]),
         mean_n_tok=float(row["mean_n_tok"] or 0.0),

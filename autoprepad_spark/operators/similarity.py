@@ -94,9 +94,13 @@ def lsh_topk(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
-    """ANN top-k: score only bucket-mates across n_tables hash tables."""
-    dim = len(corpus.select(vec_col).first()[0])
+    """ANN top-k: score only bucket-mates across n_tables hash tables.
+
+    Pass ``dim`` (the embedding width) to skip the one-row peek job."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     cands = None
     for t in range(n_tables):
         planes = _random_planes(dim, n_planes, seed + t)
@@ -152,6 +156,24 @@ def ivf_build(
     return assigned, centroids
 
 
+def _probe_udf(centroids: np.ndarray, nprobe: int):
+    """Vectorized nprobe-nearest-cells per query: one numpy matmul per
+    Arrow batch — the same kernel shape as assignment, so query-table-
+    sized workloads distribute instead of looping on the driver."""
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cn.T
+        # stable argsort: deterministic cell order under similarity ties
+        cells = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cells.astype(np.int32)))
+
+    return probe
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: np.ndarray,
@@ -162,19 +184,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Probe the nprobe nearest cells per query, exact-score inside them."""
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    qrows = queries.select(id_col, vec_col).collect()
-    probe = []
-    for r in qrows:
-        v = np.array(list(r[vec_col]), dtype=np.float64)
-        v = v / max(np.linalg.norm(v), 1e-12)
-        cells = np.argsort(-(cn @ v))[:nprobe]
-        for c in cells:
-            probe.append((r[id_col], int(c), list(map(float, r[vec_col]))))
-    spark = assigned.sparkSession
-    qdf = spark.createDataFrame(
-        probe, f"query_id long, cell int, _qv array<double>"
+    """Probe the nprobe nearest cells per query, exact-score inside them.
+
+    Fully distributed: cell probing is a pandas-UDF matmul over the query
+    DataFrame (never collected), exploded to (query, cell) rows and
+    joined against the cell-assigned corpus — broadcast when the probe
+    table is small, AQE-planned shuffle join for query-table-sized
+    workloads.
+    """
+    probe = _probe_udf(centroids, nprobe)
+    qdf = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            probe(F.col(vec_col)).alias("_cells"),
+        )
+        .withColumn("cell", F.explode("_cells"))
+        .drop("_cells")
     )
     cand = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
@@ -195,10 +221,14 @@ def embedding_near_duplicates(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine, LSH-bucketed: only pairs
-    agreeing on a full signature in some table are scored."""
-    dim = len(corpus.select(vec_col).first()[0])
+    agreeing on a full signature in some table are scored.
+
+    Pass ``dim`` (the embedding width) to skip the one-row peek job."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     pairs = None
     for t in range(n_tables):
         planes = _random_planes(dim, n_planes, seed + t)

@@ -9,15 +9,18 @@ Reference lifecycle (SURVEY.md §3): construct plan -> fit (aggregations)
 
 Job graph — the token payload (the table's dominant bytes) is scanned
 exactly ONCE per run:
-  1. fit: lean global agg + n_tok value-count histogram (column-pruned
-     scans that never touch `tokens`)
+  1. fit: ONE n_tok value-count histogram scan (column-pruned, never
+     touches `tokens`); count/min/max/mean/std and the exact
+     quantiles/MAD all derive from it driver-side
   2. the violations job (runs once, materialized eagerly): marking (JVM
      array reductions + Arrow predicate UDF — the single pass that reads
-     `tokens`) -> filter flagged -> explode, unioned with the salted
-     two-phase uniqueness branch and the broadcast anti-join referential
-     branch (both column-pruned scans)
-  3. per-partition row counts (column-pruned) + verdict assembly from
-     the cached violation set
+     `tokens`), with the referential check INLINED as a literal isin
+     flag (dimension collected once — no separate fact scan/anti-join)
+     -> filter flagged -> explode; unioned with the hash-keyed salted
+     uniqueness branch (column-pruned scan, 8-byte shuffle keys) and a
+     fused per-partition row-count branch — so verdict assembly needs no
+     extra pass over the input at all
+  3. verdict assembly from the materialized violation set (tiny)
   4. drift: histogram agg + grouped-map PSI/chi²
 Resume: partitions already in the checkpoint table are pruned from the
 scan (partition-pruning filter), uniqueness stays global so cross-
@@ -35,12 +38,13 @@ from autoprepad_spark.datagen import VOCAB_SIZE
 from autoprepad_spark.operators import drift as drift_mod
 from autoprepad_spark.operators.marking import ROW_CHECKS, mark
 from autoprepad_spark.operators.profile import ProfileStats, global_stats
-from autoprepad_spark.operators.referential import referential_violations
 from autoprepad_spark.operators.uniqueness import duplicate_rows
 from autoprepad_spark.plans import verdicts as V
 from autoprepad_spark.plans.checkpoint import CheckpointTable
 
 ALL_CHECKS = ROW_CHECKS + ["unique_doc_id", "ref_source"]
+#: tag for the fused per-partition row-count rows in the violation union
+ROW_COUNT_MARK = "__row_count__"
 
 
 @dataclass
@@ -95,7 +99,23 @@ class ValidationSuite:
 
         todo = checkpoint.remaining(df, run_id) if checkpoint and run_id else df
 
-        marked = mark(todo, stats, vocab_size=self.vocab_size, engine=self.engine)
+        # Referential check: the dimension side must fit executor memory
+        # to be broadcastable at all, so collect it once and inline the
+        # check into the marking pass as a literal isin flag — no second
+        # fact-table scan, no anti-join.
+        allowed = None
+        if dim is not None:
+            d = dim
+            if "active" in dim.columns:
+                d = d.filter(F.col("active"))
+            allowed = sorted(
+                r["source"] for r in d.select("source").distinct().collect()
+            )
+
+        marked = mark(
+            todo, stats, vocab_size=self.vocab_size, engine=self.engine,
+            allowed_sources=allowed,
+        )
         # ONE pass reads the token payload: marking (JVM array reductions
         # + Arrow predicate UDF) -> filter flagged rows -> explode, inside
         # the violations job below, which runs exactly once (violations
@@ -105,7 +125,8 @@ class ValidationSuite:
 
         # uniqueness over the FULL table (cross-partition duplicates must
         # be caught even on resume): needs only key + light columns — a
-        # column-pruned scan, independent of the marking pass
+        # column-pruned scan shuffling 8-byte key hashes, independent of
+        # the marking pass
         dup_src = df.select("part", "doc_id", "n_tok", "source")
         dup_viol = (
             duplicate_rows(dup_src, "doc_id")
@@ -121,21 +142,18 @@ class ValidationSuite:
             if done:
                 dup_viol = dup_viol.filter(~F.col("part").isin(done))
 
-        parts = [row_viol, dup_viol]
-        if dim is not None:
-            ref_viol = referential_violations(
-                todo.select("part", "doc_id", "source"), dim
-            ).select(
-                "part",
-                F.lit("ref_source").alias("check_name"),
-                "doc_id",
-                F.col("source").alias("detail"),
-            )
-            parts.append(ref_viol)
+        # per-partition row counts ride the same job as a fused branch
+        # (tagged rows in the union) instead of costing their own scan
+        rc_rows = todo.groupBy("part").agg(
+            F.count(F.lit(1)).alias("_rc")
+        ).select(
+            "part",
+            F.lit(ROW_COUNT_MARK).alias("check_name"),
+            F.lit(None).cast("string").alias("doc_id"),
+            F.col("_rc").cast("string").alias("detail"),
+        )
 
-        violations = parts[0]
-        for p in parts[1:]:
-            violations = violations.unionByName(p)
+        violations = row_viol.unionByName(dup_viol).unionByName(rc_rows)
         # Materialize the violation set ONCE, eagerly — consuming it
         # lazily through downstream joins does not reliably populate a
         # cache (observed: the verdict DAG's broadcast side bypassed it),
@@ -153,7 +171,10 @@ class ValidationSuite:
             violations.count()
             cached.append(violations)
 
-        row_counts = todo.groupBy("part").agg(F.count(F.lit(1)).alias("row_count"))
+        row_counts = violations.filter(
+            F.col("check_name") == ROW_COUNT_MARK
+        ).select("part", F.col("detail").cast("long").alias("row_count"))
+        violations = violations.filter(F.col("check_name") != ROW_COUNT_MARK)
         check_names = ALL_CHECKS if dim is not None else [
             c for c in ALL_CHECKS if c != "ref_source"
         ]

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from autoprepad_spark.operators.marking import FLAG_COLS, ROW_CHECKS
+from autoprepad_spark.operators.marking import FLAG_COLS, REF_CHECK, REF_FLAG, ROW_CHECKS
 
 #: checks whose violations are hard failures (any violation -> fail)
 HARD_CHECKS = {
@@ -42,24 +42,36 @@ def explode_violations(marked: DataFrame) -> DataFrame:
     """Marked rows -> one violation row per (row, violated check).
 
     Filter-before-explode: only rows with flag_total > 0 reach the
-    generator, so the explode multiplies a <<1% subset.
+    generator, so the explode multiplies a <<1% subset. Picks up the
+    inlined referential flag automatically when the marking pass added
+    it (detail = the offending source value; row checks carry n_tok).
     """
+    checks = [
+        (name, flag, F.col("n_tok").cast("string"))
+        for name, flag in zip(ROW_CHECKS, FLAG_COLS)
+    ]
+    if REF_FLAG in marked.columns:
+        checks.append((REF_CHECK, REF_FLAG, F.col("source")))
     pairs = F.array(
         *[
-            F.struct(F.lit(name).alias("check_name"), F.col(flag).alias("v"))
-            for name, flag in zip(ROW_CHECKS, FLAG_COLS)
+            F.struct(
+                F.lit(name).alias("check_name"),
+                F.col(flag).alias("v"),
+                detail.alias("detail"),
+            )
+            for name, flag, detail in checks
         ]
     )
     hit = F.filter(pairs, lambda s: s["v"] == 1)
     return (
         marked.filter(F.col("flag_total") > 0)
+        .select("part", F.explode(hit).alias("_h"), "doc_id")
         .select(
             "part",
-            F.explode(hit).alias("_h"),
+            F.col("_h.check_name").alias("check_name"),
             "doc_id",
-            F.col("n_tok").cast("string").alias("detail"),
+            F.col("_h.detail").alias("detail"),
         )
-        .select("part", F.col("_h.check_name").alias("check_name"), "doc_id", "detail")
     )
 
 

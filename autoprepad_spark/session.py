@@ -40,7 +40,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # scalar-feed UDFs ship ~5 doubles/row, so bigger Arrow batches
+        # (~2.5MB) amortize the per-batch python round-trip without
+        # memory risk; deep UDFs that ship token arrays stay bounded by
+        # maxBytesPerBatch semantics of the writer
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # committer v2: task outputs move to the final location at task
+        # commit, removing the O(#files) serial rename in job commit — a
+        # fixed driver-side cost that caps scaling of short write jobs
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # G1 (the JDK17 default) collapses under 32 concurrent task threads
