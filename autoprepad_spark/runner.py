@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--approx", action="store_true",
                     help="sketch quantiles instead of exact histogram")
+    ap.add_argument("--report", default=None,
+                    help="write an HTML run report to this path (S5 sink)")
     args = ap.parse_args(argv)
 
     from autoprepad_spark.session import get_spark
@@ -88,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
             [(r["part"], r["n_rows"] or 0, r["n_violations"] or 0, elapsed)
              for r in per_part],
         )
+
+    if args.report:
+        from autoprepad_spark.plans.report import write_report
+
+        write_report(res, args.report, run_id=args.run_id)
 
     n_fail = verdicts.filter(F.col("status") == "fail").count()
     summary = {

@@ -152,3 +152,17 @@ def test_duplicate_rows_hash_matches_key_method(spark):
     b = got_key.sort_values(key).reset_index(drop=True)[key]
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 60  # ids 0..29 appear twice -> 60 rows
+
+
+def test_html_report_sink(spark, tokens_df, dim_df, tmp_path):
+    from autoprepad_spark.plans.report import render_report, write_report
+    from autoprepad_spark.plans.suite import ValidationSuite
+
+    res = ValidationSuite().run(tokens_df, dim=dim_df)
+    html_text = render_report(res, run_id="t1", top_n=5)
+    assert "<html>" in html_text and "Per-partition verdicts" in html_text
+    assert "unique_doc_id" in html_text and "ref_source" in html_text
+    p = tmp_path / "report.html"
+    write_report(res, str(p), run_id="t1")
+    assert p.read_text().startswith("<!doctype html>")
+    res.unpersist()
