@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 from autoprepad_spark import schema as S
 from autoprepad_spark.datagen import VOCAB_SIZE
 from autoprepad_spark.operators import drift as drift_mod
-from autoprepad_spark.operators.marking import ROW_CHECKS, mark
+from autoprepad_spark.operators.marking import ROW_CHECKS, mark, mark_slim
 from autoprepad_spark.operators.profile import ProfileStats, global_stats
 from autoprepad_spark.operators.uniqueness import duplicate_rows
 from autoprepad_spark.plans import verdicts as V
@@ -112,10 +112,18 @@ class ValidationSuite:
                 r["source"] for r in d.select("source").distinct().collect()
             )
 
-        marked = mark(
-            todo, stats, vocab_size=self.vocab_size, engine=self.engine,
-            allowed_sources=allowed,
-        )
+        # The plan's marking pass carries no token passthrough (the
+        # validator never emits tokens), so the arrow engine uses the
+        # queue-free mapInPandas variant — see mark_slim's docstring.
+        if self.engine == "arrow":
+            marked = mark_slim(
+                todo, stats, vocab_size=self.vocab_size, allowed_sources=allowed
+            )
+        else:
+            marked = mark(
+                todo, stats, vocab_size=self.vocab_size, engine=self.engine,
+                allowed_sources=allowed,
+            )
         # ONE pass reads the token payload: marking (JVM array reductions
         # + Arrow predicate UDF) -> filter flagged rows -> explode, inside
         # the violations job below, which runs exactly once (violations

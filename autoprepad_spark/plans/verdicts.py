@@ -45,9 +45,26 @@ def explode_violations(marked: DataFrame) -> DataFrame:
     generator, so the explode multiplies a <<1% subset. Picks up the
     inlined referential flag automatically when the marking pass added
     it (detail = the offending source value; row checks carry n_tok).
+    When the marking pass retained the array diagnostics (mark_slim),
+    structural checks carry them in detail — n_tok:actual_len for
+    length checks, min:max token ids for the bounds check. (These
+    references also pin the reductions as multi-use projected columns,
+    which is what keeps the token payload out of the python-exchange
+    queue — see mark_slim.)
     """
+    ntd = F.col("n_tok").cast("string")
+    details = {}
+    if "_len" in marked.columns:
+        len_detail = F.concat_ws(":", ntd, F.col("_len").cast("string"))
+        details["len_mismatch"] = len_detail
+        details["empty_tokens"] = len_detail
+        details["token_oob"] = F.concat_ws(
+            ":",
+            F.col("_tmin").cast("long").cast("string"),
+            F.col("_tmax").cast("long").cast("string"),
+        )
     checks = [
-        (name, flag, F.col("n_tok").cast("string"))
+        (name, flag, details.get(name, ntd))
         for name, flag in zip(ROW_CHECKS, FLAG_COLS)
     ]
     if REF_FLAG in marked.columns:

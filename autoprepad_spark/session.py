@@ -54,8 +54,12 @@ def get_spark(
         # G1 (the JDK17 default) collapses under 32 concurrent task threads
         # here (single aggs regress 10-30x from GC storms); throughput GC
         # restores linear behavior. On a cluster this is
-        # spark.executor.extraJavaOptions.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # spark.executor.extraJavaOptions. SPARK_JAVA_OPTS overrides for
+        # GC experiments (bench/stage probes).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         # files.maxPartitionBytes default 128m is right for the 100TB target;
         # keep it explicit so the intent is visible.

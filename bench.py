@@ -121,7 +121,12 @@ def run_worker(cores: int, rows: int) -> None:
     from autoprepad_spark.datagen import generate_tokens, source_dim
     from autoprepad_spark.plans.suite import ValidationSuite
 
-    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    # G1 beats ParallelGC at <=16 task threads with a large heap on this
+    # host (stage-probe: marking-stage GC 362s -> ~230s, wall -13%); the
+    # G1 collapse recorded in session.py only bites at 32 threads, which
+    # the scaling pair never uses.
+    os.environ.setdefault("SPARK_JAVA_OPTS", "-XX:+UseG1GC")
     spark = get_spark(f"bench-scale-{cores}", cores=cores)
     n_parts = 32  # fixed partition count — output must not depend on cores
     # Input is a parquet table on disk — the production shape (an Iceberg
