@@ -616,6 +616,27 @@ def q_ensemble_score(spark, sf):
     )
 
 
+def q_pack_sequences(spark, sf):
+    """Greedy-in-order sequence packing into fixed context windows (the
+    LLM-pipeline step after dedup/filtering): per-source chunk counts,
+    fill ratio, truncations. Window-cumsum — partitioned, no global sort."""
+    from autoprepad_spark.operators.packing import chunk_stats, pack_sequences
+
+    d = _t(spark, sf, "documents")
+    packed = pack_sequences(
+        d, budget=2000, len_col="n_chars", group_col="source", order_col="doc_id"
+    )
+    out = chunk_stats(packed, budget=2000, group_col="source", len_col="n_chars")
+    return out.select(
+        "source",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        "n_docs",
+        F.col("total_len").cast("long").alias("total_len"),
+        F.round("fill_ratio", 6).alias("fill_ratio"),
+        "n_truncated",
+    )
+
+
 def q_validate_tokens(spark, sf):  # rows-only: north-rule engine end-to-end
     from autoprepad_spark import ValidationSuite
     from autoprepad_spark.datagen import generate_tokens, source_dim
@@ -672,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_metrics": q_eval_metrics,
         "pr_eval": q_pr_eval,
         "ensemble_score": q_ensemble_score,
+        "pack_sequences": q_pack_sequences,
         "validate_tokens": q_validate_tokens,
     }
 
@@ -1154,6 +1176,23 @@ def oracle_sql() -> dict[str, str]:
                               / (tp/greatest(tp+fp,1) + tp/greatest(tp+fn,1))
                          ELSE 0.0 END, 6) AS f1
             FROM g
+        """,
+        "pack_sequences": """
+            WITH p AS (
+              SELECT source, n_chars,
+                     sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+                       AS before
+              FROM documents
+            )
+            SELECT source,
+                   (max(floor(before / 2000)) + 1)::BIGINT AS n_chunks,
+                   count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS total_len,
+                   round(sum(n_chars) / ((max(floor(before / 2000)) + 1) * 2000), 6)
+                     AS fill_ratio,
+                   sum(CASE WHEN n_chars > 2000 THEN 1 ELSE 0 END)::BIGINT AS n_truncated
+            FROM p GROUP BY 1
         """,
         "ensemble_score": f"""
             WITH {_ROBUST3}

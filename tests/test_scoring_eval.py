@@ -166,3 +166,24 @@ def test_html_report_sink(spark, tokens_df, dim_df, tmp_path):
     write_report(res, str(p), run_id="t1")
     assert p.read_text().startswith("<!doctype html>")
     res.unpersist()
+
+
+def test_pack_sequences_greedy(spark):
+    from autoprepad_spark.operators.packing import chunk_stats, pack_sequences
+
+    rows = [("a", i, ln) for i, ln in enumerate([50, 60, 40, 100, 30])]
+    df = spark.createDataFrame(rows, ["source", "doc_id", "n"])
+    packed = pack_sequences(
+        df, budget=100, len_col="n", group_col="source", order_col="doc_id"
+    ).toPandas().sort_values("doc_id")
+    # prefix sums before each doc: 0, 50, 110, 150, 250
+    assert list(packed["chunk_id"]) == [0, 0, 1, 1, 2]
+    assert list(packed["chunk_off"]) == [0, 50, 10, 50, 50]
+    assert list(packed["truncated"]) == [0, 0, 0, 0, 0]
+    st = chunk_stats(
+        pack_sequences(df, budget=100, len_col="n", group_col="source",
+                       order_col="doc_id"),
+        budget=100, group_col="source", len_col="n",
+    ).collect()[0]
+    assert st["n_chunks"] == 3 and st["total_len"] == 280
+    assert abs(st["fill_ratio"] - 280 / 300) < 1e-12
