@@ -71,22 +71,25 @@ def _col_histograms(
             ]
         )
     )
-    rows = (
+    # Arrow-backed toPandas: a bounded-decimal column can easily have
+    # 10^5-10^7 distinct cells — row-based collect() crawls through py4j,
+    # the Arrow path moves the whole histogram in a few batches.
+    pdf = (
         df.select(pairs.alias("p"))
         .select(F.col("p.c").alias("c"), F.col("p.v").alias("v"))
         .filter(F.col("v").isNotNull())
         .groupBy("c", "v")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        .toPandas()
     )
-    out: dict[str, list] = {c: ([], []) for c in cols}
-    for r in rows:
-        out[r["c"]][0].append(r["v"])
-        out[r["c"]][1].append(r["n"])
-    return {
-        c: (np.asarray(v, dtype=np.float64), np.asarray(n, dtype=np.int64))
-        for c, (v, n) in out.items()
-    }
+    out = {}
+    for c in cols:
+        sub = pdf[pdf["c"] == c]
+        out[c] = (
+            sub["v"].to_numpy(dtype=np.float64),
+            sub["n"].to_numpy(dtype=np.int64),
+        )
+    return out
 
 
 def _robust_from_hist(v: np.ndarray, c: np.ndarray) -> "RobustStats":

@@ -38,14 +38,14 @@ def _rank_table(df: DataFrame, col: str) -> DataFrame:
 
     Distributed histogram -> driver-side cumulative ranks; the result is
     |distinct| rows, broadcast-joinable by construction."""
-    rows = (
+    pdf = (
         df.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .collect()
+        .toPandas()
     )
-    vals = np.array([float(r[col]) for r in rows], dtype=np.float64)
-    cnts = np.array([int(r["_cnt"]) for r in rows], dtype=np.int64)
+    vals = pdf[col].to_numpy(dtype=np.float64)
+    cnts = pdf["_cnt"].to_numpy(dtype=np.int64)
     order = np.argsort(vals, kind="stable")
     vals, cnts = vals[order], cnts[order]
     below = np.concatenate(([0], np.cumsum(cnts)[:-1]))
@@ -56,7 +56,7 @@ def _rank_table(df: DataFrame, col: str) -> DataFrame:
             T.StructField("avg_rank", T.DoubleType()),
         ]
     )
-    native = [r[col] for r in rows]
+    native = pdf[col].tolist()
     pairs = [(native[i], float(avg_rank[j])) for j, i in enumerate(order)]
     return df.sparkSession.createDataFrame(pairs, schema)
 

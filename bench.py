@@ -32,7 +32,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 # headline subset: one per engine area (validation, profiling, robust
-# stats, uniqueness, referential, join, window, dedup, text, drift, ANN)
+# stats, uniqueness, referential, join, window, dedup, text, drift, ANN,
+# scoring/eval, packing)
 HEADLINE = [
     "validate_tokens",
     "profile_stats",
@@ -47,6 +48,10 @@ HEADLINE = [
     "text_profile",
     "drift_psi",
     "embedding_topk",
+    "anomaly_scores",
+    "pr_eval",
+    "ensemble_score",
+    "pack_sequences",
 ]
 
 
