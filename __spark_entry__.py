@@ -389,11 +389,18 @@ def q_minhash_dedup(spark, sf):
     pipeline). Oracle = ALL pairs with true J >= 0.9, so a green row
     also PROVES the LSH candidate recall is 1.0 at this scale."""
     docs = _docs_with_dups(spark, sf)
-    sigs = DD.minhash_signatures(docs, text_col="text", id_col="doc_id")
+    # one shared, materialized shingle index feeds both the minhash
+    # aggregation and the exact-verification joins
+    sh = DD._shingle_hashes(docs, "text", "doc_id", 3).cache()
+    sh.count()
+    sigs = DD.minhash_signatures(docs, text_col="text", id_col="doc_id", shingles=sh)
     cands = DD.minhash_candidates(sigs, id_col="doc_id", num_hashes=32)
-    out = DD.verify_pairs_jaccard(docs, cands, threshold=0.9)
+    out = DD.verify_pairs_jaccard(docs, cands, threshold=0.9, shingles=sh)
+    out = out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).cache()
+    out.count()
+    sh.unpersist()
     cands.unpersist()
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return out
 
 
 def q_simhash_dedup(spark, sf):

@@ -80,12 +80,15 @@ def minhash_signatures(
     k_shingle: int = 3,
     num_hashes: int = 32,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig:array<long>) — num_hashes min-hash values per doc.
 
     All permutations h_i(x) = (a_i*x + b_i) mod p are evaluated in ONE
     aggregation over the exploded shingle hashes (num_hashes F.min
     columns), so the corpus is scanned once however many hashes we use.
+    ``shingles``: a precomputed (_id, _h) frame (e.g. cached and shared
+    with verify_pairs_jaccard) to avoid re-deriving the shingle index.
     """
     import random
 
@@ -94,7 +97,10 @@ def minhash_signatures(
         (rnd.randrange(1, HASH_DOMAIN), rnd.randrange(0, HASH_DOMAIN))
         for _ in range(num_hashes)
     ]
-    hashes = _shingle_hashes(df, text_col, id_col, k_shingle)
+    hashes = (
+        shingles if shingles is not None
+        else _shingle_hashes(df, text_col, id_col, k_shingle)
+    )
     mins = [
         F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_61)).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
@@ -166,6 +172,7 @@ def verify_pairs_jaccard(
     id_col: str = "doc_id",
     k_shingle: int = 3,
     threshold: float = 0.9,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs: (id_a, id_b, jaccard).
 
@@ -174,9 +181,14 @@ def verify_pairs_jaccard(
     computed ONLY for candidates. The candidate set is broadcast (tiny
     relative to the corpus: near-dup pairs, not all pairs), so both
     shingle joins stream the inverted index once with no extra shuffle
-    of the corpus.
+    of the corpus. ``shingles``: precomputed (_id, _h) frame to share
+    the index with the candidate generator.
     """
-    sh = _shingle_hashes(df, text_col, id_col, k_shingle).distinct()
+    base = (
+        shingles if shingles is not None
+        else _shingle_hashes(df, text_col, id_col, k_shingle)
+    )
+    sh = base.distinct()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("_id").alias("id_a"), F.col("_h"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_h"))
