@@ -103,6 +103,53 @@ def stream_validate(
     return writer.start()
 
 
+def stream_drift(
+    spark: SparkSession,
+    input_path: str,
+    *,
+    baseline_hist: DataFrame,
+    checkpoint_dir: str,
+    drift_path: str,
+    bucket_width: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Per-micro-batch distribution-drift monitor; returns the query.
+
+    Each arriving batch's per-source n_tok histogram is compared against
+    the CHECKPOINTED baseline profile (PSI + chi², the batch drift
+    operator reused verbatim), and one drift row per (batch, source) is
+    appended — the streaming shape of the reference's
+    fit-on-train/compare-on-test split. The per-batch state is only the
+    |sources| x |buckets| histogram (mergeable hash agg), so batch size
+    doesn't change the memory footprint.
+    """
+    from autoprepad_spark.operators import drift as drift_mod
+
+    width = bucket_width or drift_mod.DEFAULT_BUCKET_WIDTH
+    reader = (
+        spark.readStream.schema(TOKENS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+        .parquet(input_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = drift_mod.ntok_histogram(batch_df, bucket_width=width)
+        out = drift_mod.drift(baseline_hist, cur).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        out.write.mode("append").parquet(drift_path)
+
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_profile(
     events: DataFrame,
     *,

@@ -187,3 +187,38 @@ def test_pack_sequences_greedy(spark):
     ).collect()[0]
     assert st["n_chunks"] == 3 and st["total_len"] == 280
     assert abs(st["fill_ratio"] - 280 / 300) < 1e-12
+
+
+def test_stream_drift_per_batch(spark, tmp_path):
+    from autoprepad_spark import datagen as G
+    from autoprepad_spark.operators import drift as DRM
+    from autoprepad_spark.streaming.validate import stream_drift
+
+    base = G.generate_tokens(spark, 15_000, seed=21, n_parts=4)
+    baseline = DRM.ntok_histogram(base).cache()
+    baseline.count()
+
+    inp = str(tmp_path / "in")
+    # batch 1: same distribution; drained, then batch 2: shifted web docs
+    G.generate_tokens(spark, 8_000, seed=22, n_parts=4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    kw = dict(
+        baseline_hist=baseline,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        drift_path=str(tmp_path / "drift"),
+    )
+    stream_drift(spark, inp, **kw).awaitTermination(120)
+    d1 = spark.read.parquet(kw["drift_path"]).toPandas()
+    assert set(d1.batch_id) == {0}
+    assert (d1[d1.source == "web"].psi < 0.1).all()  # same distribution
+
+    G.generate_tokens(
+        spark, 8_000, seed=23, n_parts=4, drift_source="web", drift_shift=1.5
+    ).write.mode("append").parquet(inp)
+    stream_drift(spark, inp, **kw).awaitTermination(120)
+    d2 = spark.read.parquet(kw["drift_path"]).toPandas()
+    assert d2.batch_id.nunique() == 2
+    newest = d2[d2.batch_id == d2.batch_id.max()]
+    assert (newest[newest.source == "web"].psi > 0.2).all()  # shift detected
+    baseline.unpersist()
