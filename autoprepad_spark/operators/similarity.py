@@ -68,7 +68,12 @@ def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 
 def lsh_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
-    """Sign-bit signature against fixed hyperplanes — a long per vector."""
+    """Sign-bit signature against fixed hyperplanes — a long per vector.
+
+    Expression variant (zip_with/aggregate, whole-stage codegen). Each
+    plane is a separate array reduction, so cost grows as
+    n_planes x dim per row — fine for small plane counts, but the
+    matmul UDF variant below wins at scale."""
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         d = F.aggregate(
@@ -84,6 +89,28 @@ def lsh_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
     return sig
 
 
+def lsh_signature_udf(planes: np.ndarray):
+    """Matmul variant: ALL plane dot-products in one numpy matmul per
+    Arrow batch (n_planes x dim fused into BLAS), returning the packed
+    sign-bit signature. The scale path — per-row cost is one GEMV row
+    instead of n_planes separate array traversals. Bit values can differ
+    from the expression variant only for dot products within float
+    rounding of zero (summation order), which is why callers pick ONE
+    variant per pipeline (`sig_method`)."""
+    pm = np.asarray(planes, dtype=np.float64)
+
+    @F.pandas_udf(T.LongType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (m @ pm.T) > 0
+        out = np.zeros(len(m), dtype=np.int64)
+        for i in range(pm.shape[0]):
+            out |= bits[:, i].astype(np.int64) << i
+        return pd.Series(out)
+
+    return sig
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -95,16 +122,23 @@ def lsh_topk(
     n_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    sig_method: str = "udf",
 ) -> DataFrame:
     """ANN top-k: score only bucket-mates across n_tables hash tables.
 
-    Pass ``dim`` (the embedding width) to skip the one-row peek job."""
+    Pass ``dim`` (the embedding width) to skip the one-row peek job.
+    sig_method: "udf" (matmul per Arrow batch — the scale path) or
+    "expr" (pure codegen expressions, no python workers)."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     cands = None
     for t in range(n_tables):
         planes = _random_planes(dim, n_planes, seed + t)
-        sig = lsh_signature(vec_col, planes)
+        if sig_method == "udf":
+            u = lsh_signature_udf(np.asarray(planes))
+            sig = u(F.col(vec_col))
+        else:
+            sig = lsh_signature(vec_col, planes)
         cb = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), sig.alias("_b"))
         qb = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), sig.alias("_b"))
         pair = cb.join(F.broadcast(qb), "_b").drop("_b")
@@ -222,6 +256,7 @@ def embedding_near_duplicates(
     n_tables: int = 4,
     seed: int = 7,
     dim: int | None = None,
+    sig_method: str = "udf",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine, LSH-bucketed: only pairs
     agreeing on a full signature in some table are scored.
@@ -232,7 +267,11 @@ def embedding_near_duplicates(
     pairs = None
     for t in range(n_tables):
         planes = _random_planes(dim, n_planes, seed + t)
-        sig = lsh_signature(vec_col, planes)
+        if sig_method == "udf":
+            u = lsh_signature_udf(np.asarray(planes))
+            sig = u(F.col(vec_col))
+        else:
+            sig = lsh_signature(vec_col, planes)
         b = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), sig.alias("_b"))
         p = (
             b.alias("a").join(b.alias("b"), "_b")
