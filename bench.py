@@ -254,18 +254,14 @@ def _write_bench_md(s: dict) -> None:
     nc, n4c = n["cores"], n4["cores"]
     md = f"""# BENCH — N vs 4N scaling evidence (north rule)
 
-Same job (full ValidationSuite: profile agg + Arrow-UDF marking +
-salted uniqueness + broadcast referential + verdict assembly) over the
-SAME deterministic token table ({n["rows"]:,} rows, {n["tokens"]:,}
-tokens, 32 fixed input partitions), run in fresh processes at
-`local[{nc}]` (N) and `local[{n4c}]` (4N). Sandbox stand-in for N / 4N
-executor clusters per BASELINE.md.
-
-Why ({nc}, {n4c}) and not (8, 32): a pure-CPU multiprocessing probe on
-this host measures near-linear scaling up to ~16 workers but only ~2.2x
-total throughput from 8 to 32 (SMT / effective-core ceiling of the VM),
-so an (8, 32) pair physically cannot demonstrate a 4x hardware ratio on
-this machine; ({nc}, {n4c}) exercises a true 4x of effective cores.
+Same job (full ValidationSuite: histogram fit + Arrow-UDF marking with
+inlined referential + hash-keyed salted uniqueness + fused row counts +
+verdict assembly) over the SAME deterministic token table
+({n["rows"]:,} rows, {n["tokens"]:,} tokens, 32 fixed input
+partitions), run in fresh taskset-pinned processes at `local[{nc}]` (N)
+and `local[{n4c}]` (4N). Sandbox stand-in for N / 4N executor clusters
+per BASELINE.md. Pair choice rationale + cross-pair analysis: see the
+curated notes below / repo history.
 
 | parallelism | elapsed (s) | rows/sec | tokens/sec |
 |---|---|---|---|
