@@ -644,6 +644,45 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_corpus_pipeline(spark, sf):
+    """End-to-end training-data pipeline composition: exact dedup (keep
+    the lowest doc_id per normalized text) -> quality filter (length +
+    punctuation heuristics) -> greedy context-window packing. One
+    oracle-checked query proving the stages compose."""
+    from autoprepad_spark.operators.dedup import normalize_text
+    from autoprepad_spark.operators.packing import chunk_stats, pack_sequences
+
+    d = _t(spark, sf, "documents")
+    keep = (
+        d.select("doc_id", F.md5(normalize_text("text")).alias("_h"))
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = d.join(keep, "doc_id")
+    # quality gate: non-trivial length, bounded punctuation ratio
+    punct = F.size(F.split(F.col("text"), r"[^A-Za-z0-9\s]")) - 1
+    ok = (
+        (F.col("n_chars") >= 50)
+        & (F.col("n_chars") <= 10000)
+        & ((punct / F.greatest(F.col("n_chars"), F.lit(1))) <= 0.2)
+    )
+    filtered = surv.filter(ok)
+    packed = pack_sequences(
+        filtered, budget=2000, len_col="n_chars", group_col="source",
+        order_col="doc_id",
+    )
+    out = chunk_stats(packed, budget=2000, group_col="source", len_col="n_chars")
+    return out.select(
+        "source",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        "n_docs",
+        F.col("total_len").cast("long").alias("total_len"),
+        F.round("fill_ratio", 6).alias("fill_ratio"),
+        "n_truncated",
+    )
+
+
 def q_validate_tokens(spark, sf):  # rows-only: north-rule engine end-to-end
     from autoprepad_spark import ValidationSuite
     from autoprepad_spark.datagen import generate_tokens, source_dim
@@ -701,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_eval": q_pr_eval,
         "ensemble_score": q_ensemble_score,
         "pack_sequences": q_pack_sequences,
+        "corpus_pipeline": q_corpus_pipeline,
         "validate_tokens": q_validate_tokens,
     }
 
@@ -1191,6 +1231,35 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
                        AS before
               FROM documents
+            )
+            SELECT source,
+                   (max(floor(before / 2000)) + 1)::BIGINT AS n_chunks,
+                   count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS total_len,
+                   round(sum(n_chars) / ((max(floor(before / 2000)) + 1) * 2000), 6)
+                     AS fill_ratio,
+                   sum(CASE WHEN n_chars > 2000 THEN 1 ELSE 0 END)::BIGINT AS n_truncated
+            FROM p GROUP BY 1
+        """,
+        "corpus_pipeline": f"""
+            WITH keep AS (
+              SELECT min(doc_id) AS doc_id
+              FROM (SELECT doc_id, md5({_NORM.format(c='text')}) AS h FROM documents)
+              GROUP BY h
+            ),
+            filt AS (
+              SELECT d.source, d.doc_id, d.n_chars
+              FROM documents d JOIN keep USING (doc_id)
+              WHERE d.n_chars BETWEEN 50 AND 10000
+                AND len(regexp_extract_all(d.text, '[^A-Za-z0-9\\s]'))
+                    / greatest(d.n_chars, 1) <= 0.2
+            ),
+            p AS (
+              SELECT source, n_chars,
+                     sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars
+                       AS before
+              FROM filt
             )
             SELECT source,
                    (max(floor(before / 2000)) + 1)::BIGINT AS n_chunks,

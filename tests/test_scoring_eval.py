@@ -222,3 +222,15 @@ def test_stream_drift_per_batch(spark, tmp_path):
     newest = d2[d2.batch_id == d2.batch_id.max()]
     assert (newest[newest.source == "web"].psi > 0.2).all()  # shift detected
     baseline.unpersist()
+
+
+def test_suite_empty_input(spark, dim_df):
+    from autoprepad_spark.datagen import generate_tokens
+    from autoprepad_spark.plans.suite import ValidationSuite
+
+    empty = generate_tokens(spark, 20_000, seed=3, n_parts=4).filter("n_tok < 0")
+    res = ValidationSuite().run(empty, dim=dim_df)
+    assert res.stats.n_rows == 0
+    assert res.violations.count() == 0
+    assert res.verdicts.count() == 0  # no partitions -> no verdict grid
+    res.unpersist()
