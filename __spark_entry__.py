@@ -644,6 +644,31 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_grouped_robust(spark, sf):
+    """Per-GROUP robust fit + flagging (the grouped generalization the
+    reference lacks — its fits are global): each source's documents are
+    flagged against that source's own Tukey fences / MAD, stats fitted
+    from one (group, value) histogram agg + grouped-map derivation."""
+    d = _t(spark, sf, "documents")
+    stats = FS.fit_robust_grouped(d, "n_chars", "source")
+    j = d.join(F.broadcast(stats), "source")
+    x = F.col("n_chars").cast("double")
+    iqr = F.col("q3") - F.col("q1")
+    tukey = (
+        (x < F.col("q1") - 1.5 * iqr) | (x > F.col("q3") + 1.5 * iqr)
+    ).cast("long")
+    madf = (
+        (F.col("mad") > 0)
+        & (F.abs(0.6745 * (x - F.col("median")) / F.col("mad")) > 3.5)
+    ).cast("long")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(tukey).alias("n_tukey"),
+        F.sum(madf).alias("n_mad"),
+        F.round(F.min("median"), 4).alias("median_n_chars"),
+    )
+
+
 def q_corpus_pipeline(spark, sf):
     """End-to-end training-data pipeline composition: exact dedup (keep
     the lowest doc_id per normalized text) -> quality filter (length +
@@ -740,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_eval": q_pr_eval,
         "ensemble_score": q_ensemble_score,
         "pack_sequences": q_pack_sequences,
+        "grouped_robust": q_grouped_robust,
         "corpus_pipeline": q_corpus_pipeline,
         "validate_tokens": q_validate_tokens,
     }
@@ -1240,6 +1266,30 @@ def oracle_sql() -> dict[str, str]:
                      AS fill_ratio,
                    sum(CASE WHEN n_chars > 2000 THEN 1 ELSE 0 END)::BIGINT AS n_truncated
             FROM p GROUP BY 1
+        """,
+        "grouped_robust": """
+            WITH s AS (
+              SELECT source,
+                     quantile_cont(n_chars, 0.25) AS q1,
+                     quantile_cont(n_chars, 0.5) AS med,
+                     quantile_cont(n_chars, 0.75) AS q3
+              FROM documents GROUP BY 1
+            ),
+            m AS (
+              SELECT d.source, quantile_cont(abs(d.n_chars - s.med), 0.5) AS mad
+              FROM documents d JOIN s USING (source) GROUP BY 1
+            )
+            SELECT d.source,
+                   count(*) AS n_rows,
+                   sum(CASE WHEN d.n_chars < s.q1 - 1.5*(s.q3-s.q1)
+                             OR d.n_chars > s.q3 + 1.5*(s.q3-s.q1)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_tukey,
+                   sum(CASE WHEN m.mad > 0
+                             AND abs(0.6745*(d.n_chars - s.med)/m.mad) > 3.5
+                            THEN 1 ELSE 0 END)::BIGINT AS n_mad,
+                   round(min(s.med), 4) AS median_n_chars
+            FROM documents d JOIN s USING (source) JOIN m USING (source)
+            GROUP BY 1
         """,
         "corpus_pipeline": f"""
             WITH keep AS (

@@ -144,6 +144,48 @@ def fit_robust(df: DataFrame, col: str, *, method: str = "hist") -> RobustStats:
     return fit_robust_multi(df, [col], method=method)[col]
 
 
+def fit_robust_grouped(
+    df: DataFrame, col: str, group_col: str
+) -> DataFrame:
+    """Per-group RobustStats as a DataFrame: (group, mean, std, q1,
+    median, q3, mad, vmin, vmax).
+
+    One distributed (group, value) histogram hash agg, then a grouped-map
+    over the (tiny) per-group cells derives every statistic exactly —
+    the grouped generalization of the fit path: per-group state is
+    bounded by the value domain, never the row count. The result is
+    broadcast-joinable back onto the rows for per-group flagging."""
+    from pyspark.sql import types as T
+    import pandas as pd
+
+    h = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(group_col, F.col(col).cast("double").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    schema = T.StructType(
+        [df.schema[group_col]]
+        + [
+            T.StructField(f, T.DoubleType())
+            for f in ("mean", "std", "q1", "median", "q3", "mad", "vmin", "vmax")
+        ]
+    )
+
+    def derive(pdf: pd.DataFrame) -> pd.DataFrame:
+        rs = _robust_from_hist(
+            pdf["_v"].to_numpy(dtype=np.float64), pdf["_n"].to_numpy(dtype=np.int64)
+        )
+        return pd.DataFrame(
+            [[
+                pdf[group_col].iloc[0], rs.mean, rs.std, rs.q1, rs.median,
+                rs.q3, rs.mad, rs.vmin, rs.vmax,
+            ]],
+            columns=[f.name for f in schema.fields],
+        )
+
+    return h.groupBy(group_col).applyInPandas(derive, schema)
+
+
 def tukey_flag(col: Column, stats: RobustStats) -> Column:
     return ((col < stats.tukey_lo) | (col > stats.tukey_hi)).cast("int")
 

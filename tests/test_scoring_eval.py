@@ -234,3 +234,17 @@ def test_suite_empty_input(spark, dim_df):
     assert res.violations.count() == 0
     assert res.verdicts.count() == 0  # no partitions -> no verdict grid
     res.unpersist()
+
+
+def test_fit_robust_grouped_matches_single(spark):
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 100]] + [
+        ("b", float(v)) for v in [10, 20, 30]
+    ]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    got = {
+        r["g"]: r for r in FS.fit_robust_grouped(df, "x", "g").collect()
+    }
+    for g in ("a", "b"):
+        want = FS.fit_robust(df.filter(F.col("g") == g), "x")
+        for fld in ("mean", "std", "q1", "median", "q3", "mad", "vmin", "vmax"):
+            assert abs(got[g][fld] - getattr(want, fld)) < 1e-9, (g, fld)
