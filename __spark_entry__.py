@@ -501,11 +501,13 @@ def q_embedding_lsh_topk(spark, sf):  # rows-only: plane family engine-specific
     return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
-def q_multimodal_features(spark, sf):  # rows-only: decode step is stubbed
+def q_multimodal_features(spark, sf):  # rows-only: payloads are generated
     from autoprepad_spark.operators.multimodal import extract_features, synth_media
 
+    # REAL decode: BMP images + PCM WAV audio are parsed from bytes;
+    # video rows surface ok=0 (the one genuinely stubbed codec)
     media = synth_media(spark, n=64, seed=42)
-    out = extract_features(media, fake_decode=True)
+    out = extract_features(media, fake_decode=False)
     return out.select(
         "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"),
         F.col("ok").cast("long").alias("ok"),

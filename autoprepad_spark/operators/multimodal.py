@@ -2,10 +2,15 @@
 with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side contract is fully real — schemas, partitioning, UDF
-signatures, batch shapes, and tests. The codec step itself is STUBBED
-(`decode_image` raises NotImplementedError unless a deterministic fake is
-requested) because image/audio libraries are not available in this
-container; swapping in PIL/torchaudio touches ONLY `_decode_payload`.
+signatures, batch shapes, and tests. Codecs:
+
+* image — REAL: uncompressed 24-bit BMP encode/decode implemented here
+  with struct + numpy (no external imaging library needed),
+* audio  — REAL: PCM WAV via the stdlib ``wave`` module,
+* video  — STUBBED (a real container/codec demuxer genuinely needs
+  ffmpeg, absent in this environment): raises NotImplementedError
+  unless the deterministic fake is requested; swapping in a decoder
+  touches ONLY ``_decode_payload``.
 
 Scale notes: media rows are large — the operators repartition by a hash
 of the id before the Python stage so Arrow batches are balanced, and
@@ -16,6 +21,9 @@ raw bytes, so downstream shuffles move features, not media.
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -48,17 +56,81 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> uncompressed 24-bit BMP bytes."""
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    data_size = (row + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    # BMP stores rows bottom-up, channels as BGR
+    body = bytearray()
+    bgr = pixels[:, :, ::-1]
+    zeros = b"\x00" * pad
+    for r in range(h - 1, -1, -1):
+        body += bgr[r].tobytes() + zeros
+    return header + info + bytes(body)
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes -> (H, W, 3) uint8 RGB."""
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    w = struct.unpack_from("<i", b, 18)[0]
+    h = struct.unpack_from("<i", b, 22)[0]
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    row = w * 3
+    stride = row + (4 - row % 4) % 4
+    flipped = h > 0
+    h = abs(h)
+    raw = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if flipped:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR -> RGB
+
+
+def encode_wav(samples: np.ndarray, *, framerate: int = 8000) -> bytes:
+    """int16 PCM samples -> mono WAV bytes (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(b: bytes) -> np.ndarray:
+    """WAV bytes -> int16 PCM sample array."""
+    with wave.open(io.BytesIO(b), "rb") as w:
+        frames = w.readframes(w.getnframes())
+    return np.frombuffer(frames, dtype="<i2")
+
+
 def _decode_payload(payload: bytes, kind: str, *, fake: bool) -> np.ndarray:
-    """Decode media bytes to a dense array. STUB: real codecs are not in
-    this container. fake=True derives a deterministic pseudo-decode from
-    the byte content (for tests); fake=False raises."""
-    if not fake:
-        raise NotImplementedError(
-            "media codecs (PIL/torchaudio/ffmpeg) not available in this "
-            "environment; use fake=True or plug a decoder in here"
-        )
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
-    return arr
+    """Decode media bytes to a dense float array in [0, 256).
+
+    image/audio decode for REAL (BMP / PCM WAV, implemented above);
+    video is the one stubbed kind — a demuxer genuinely requires ffmpeg,
+    absent here. fake=True derives a deterministic pseudo-decode from
+    the raw bytes instead (tests / video plumbing)."""
+    if fake:
+        return np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    if kind == "image":
+        return decode_bmp(payload).reshape(-1).astype(np.float32)
+    if kind == "audio":
+        s = decode_wav(payload).astype(np.float32)
+        return s / 256.0 + 128.0  # int16 -> [0, 256) scale
+    raise NotImplementedError(
+        "video demuxing (ffmpeg) not available in this environment; "
+        "use fake=True or plug a decoder in here"
+    )
 
 
 def extract_features(df: DataFrame, *, fake_decode: bool = True, partitions: int | None = None) -> DataFrame:
@@ -92,7 +164,7 @@ def extract_features(df: DataFrame, *, fake_decode: bool = True, partitions: int
                     feats.append((hist / total).astype(np.float32))
                     oks.append(True)
                     errs.append(None)
-                except NotImplementedError as e:
+                except (NotImplementedError, ValueError, wave.Error, EOFError) as e:
                     feats.append(None)
                     oks.append(False)
                     errs.append(str(e)[:80])
@@ -123,23 +195,33 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests."""
+    """Deterministic media table: REAL encoded payloads for image (24-bit
+    BMP) and audio (PCM WAV); video rows carry opaque bytes (decode is
+    the stubbed kind)."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        size = int(rng.integers(64, 2048))
-        payload = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
+        width = height = duration = None
+        if kind == "image":
+            height = int(rng.integers(4, 24))
+            width = int(rng.integers(4, 24))
+            pixels = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+            payload = encode_bmp(pixels)
+            mime = "image/bmp"
+        elif kind == "audio":
+            n_samples = int(rng.integers(200, 4000))
+            samples = rng.integers(-32768, 32767, size=n_samples).astype(np.int16)
+            payload = encode_wav(samples)
+            duration = int(n_samples * 1000 / 8000)
+            mime = "audio/wav"
+        else:
+            size = int(rng.integers(64, 2048))
+            payload = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
+            duration = int(rng.integers(500, 20000))
+            mime = "video/mp4"
         rows.append(
-            (
-                f"m-{i:06d}",
-                kind,
-                bytearray(payload),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                int(rng.integers(16, 512)) if kind == "image" else None,
-                int(rng.integers(16, 512)) if kind == "image" else None,
-                int(rng.integers(500, 20000)) if kind != "image" else None,
-            )
+            (f"m-{i:06d}", kind, bytearray(payload), mime, width, height, duration)
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
