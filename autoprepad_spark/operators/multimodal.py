@@ -179,6 +179,68 @@ def extract_features(df: DataFrame, *, fake_decode: bool = True, partitions: int
     return src.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_image(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of (H, W, C) pixels — pure numpy index
+    mapping, the standard thumbnailing kernel when no imaging lib is
+    around. Deterministic (floor sampling grid)."""
+    h, w = arr.shape[:2]
+    ri = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    ci = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return arr[ri][:, ci]
+
+
+THUMB_H = THUMB_W = 8
+
+THUMBNAIL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("thumb", T.ArrayType(T.FloatType()), True),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def image_thumbnails(df: DataFrame, *, partitions: int | None = None) -> DataFrame:
+    """Image rows -> fixed 8x8 grayscale thumbnails (decode -> resize ->
+    luma), via Arrow mapInPandas. Output is 64 floats per image — the
+    canonical decode/resize/extract pipeline shape; downstream shuffles
+    move thumbnails, never payload bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            thumbs, oks, errs = [], [], []
+            for payload in b["payload"]:
+                try:
+                    px = decode_bmp(bytes(payload))
+                    small = resize_image(px, THUMB_H, THUMB_W).astype(np.float32)
+                    gray = (
+                        0.299 * small[:, :, 0]
+                        + 0.587 * small[:, :, 1]
+                        + 0.114 * small[:, :, 2]
+                    )
+                    thumbs.append(gray.reshape(-1))
+                    oks.append(True)
+                    errs.append(None)
+                except (ValueError, struct.error) as e:
+                    thumbs.append(None)
+                    oks.append(False)
+                    errs.append(str(e)[:80])
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "thumb": pd.Series(thumbs, dtype=object),
+                    "ok": pd.Series(oks),
+                    "error": pd.Series(errs, dtype=object),
+                }
+            )
+
+    src = df.filter(F.col("kind") == "image").select("media_id", "payload")
+    if partitions:
+        src = src.repartition(partitions, F.xxhash64("media_id"))
+    return src.mapInPandas(run, schema=THUMBNAIL_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: (media_id, frame_ts_ms) rows — the
     explode is metadata-only (duration), payload untouched until decode."""

@@ -278,3 +278,29 @@ def test_bmp_wav_codec_roundtrip():
     assert np.array_equal(decode_bmp(encode_bmp(px)), px)
     s = rng.integers(-32768, 32767, size=777).astype(np.int16)
     assert np.array_equal(decode_wav(encode_wav(s)), s)
+
+
+def test_image_thumbnails_resize(spark):
+    import numpy as np
+
+    from autoprepad_spark.operators.multimodal import (
+        THUMB_H, THUMB_W, image_thumbnails, resize_image, synth_media,
+    )
+
+    # resize kernel: exact nearest-neighbor expectations on a 2x scale
+    arr = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    half = resize_image(arr, 2, 3)
+    assert half.shape == (2, 3, 3)
+    assert np.array_equal(half[0, 0], arr[0, 0]) and np.array_equal(half[1, 2], arr[2, 4])
+
+    media = synth_media(spark, n=9, seed=7)
+    out = image_thumbnails(media).toPandas()
+    assert len(out) == 3  # only image rows
+    assert out["ok"].all()
+    assert all(len(t) == THUMB_H * THUMB_W for t in out["thumb"])
+    # deterministic across invocations
+    again = image_thumbnails(synth_media(spark, n=9, seed=7)).toPandas()
+    for a, b in zip(
+        out.sort_values("media_id")["thumb"], again.sort_values("media_id")["thumb"]
+    ):
+        assert np.allclose(a, b)
