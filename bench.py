@@ -52,6 +52,8 @@ HEADLINE = [
     "pr_eval",
     "ensemble_score",
     "pack_sequences",
+    "grouped_robust",
+    "corpus_pipeline",
 ]
 
 
