@@ -43,7 +43,12 @@ from autoprepad_spark.plans import verdicts as V
 from autoprepad_spark.plans.checkpoint import CheckpointTable
 
 ALL_CHECKS = ROW_CHECKS + ["unique_doc_id", "ref_source"]
-#: tag for the fused per-partition row-count rows in the violation union
+#: tag for the fused per-partition row-count rows in the violation union.
+#: A configured violation_sink therefore contains these bookkeeping rows
+#: (check_name == ROW_COUNT_MARK, detail == the partition's row count) —
+#: per-partition lineage records that ride the same distributed write;
+#: ValidationResult.violations filters them out, and consumers reading
+#: the sink directly should filter on check_name != ROW_COUNT_MARK.
 ROW_COUNT_MARK = "__row_count__"
 
 

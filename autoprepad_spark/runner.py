@@ -64,11 +64,14 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     suite = ValidationSuite(exact_quantiles=not args.approx)
+    # violations materialize straight into the output sink (the suite's
+    # distributed-write path) — no in-memory cache of the violation set
+    # and no second write pass
     res = suite.run(
-        df, dim=dim, baseline_hist=baseline, checkpoint=ck, run_id=args.run_id
+        df, dim=dim, baseline_hist=baseline, checkpoint=ck, run_id=args.run_id,
+        violation_sink=f"{args.output}/violations",
     )
     res.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
-    res.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
     if res.drift is not None:
         res.drift.write.mode("overwrite").parquet(f"{args.output}/drift")
 

@@ -29,9 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from autoprepad_spark.operators.marking import mark
+from autoprepad_spark.operators.marking import mark_slim
 from autoprepad_spark.operators.profile import ProfileStats
-from autoprepad_spark.operators.referential import referential_violations
 from autoprepad_spark.plans import verdicts as V
 from autoprepad_spark.plans.suite import ALL_CHECKS
 from autoprepad_spark.schema import TOKENS_SCHEMA
@@ -62,21 +61,20 @@ def stream_validate(
     )
 
     kwargs = {} if vocab_size is None else {"vocab_size": vocab_size}
+    # collect the (tiny, broadcastable-by-contract) dimension once so the
+    # referential check rides the marking pass per batch, same as batch
+    allowed = None
+    if dim is not None:
+        d = dim
+        if "active" in dim.columns:
+            d = d.filter(F.col("active"))
+        allowed = sorted(r["source"] for r in d.select("source").distinct().collect())
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.cache()
         try:
-            marked = mark(batch_df, stats, **kwargs)
-            viol = V.explode_violations(marked)
-            if dim is not None:
-                ref = referential_violations(batch_df, dim).select(
-                    "part",
-                    F.lit("ref_source").alias("check_name"),
-                    "doc_id",
-                    F.col("source").alias("detail"),
-                )
-                viol = viol.unionByName(ref)
-            viol = viol.cache()
+            marked = mark_slim(batch_df, stats, allowed_sources=allowed, **kwargs)
+            viol = V.explode_violations(marked).cache()
             row_counts = batch_df.groupBy("part").agg(
                 F.count(F.lit(1)).alias("row_count")
             )
@@ -90,6 +88,7 @@ def stream_validate(
                 "append"
             ).parquet(violation_path)
             verd.write.mode("append").parquet(verdict_path)
+            viol.unpersist()
         finally:
             batch_df.unpersist()
 
