@@ -646,6 +646,21 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic training-mix sampling: per-source keep rates via
+    key-hash thresholds (parallelism-independent, engine-portable —
+    membership is md5-prefix < threshold on both engines)."""
+    from autoprepad_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    frac = {"src0": 0.25, "src1": 0.75}
+    out = stratified_sample(d, frac, group_col="source", key_col="doc_id", default=0.5)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def q_grouped_robust(spark, sf):
     """Per-GROUP robust fit + flagging (the grouped generalization the
     reference lacks — its fits are global): each source's documents are
@@ -768,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_score": q_ensemble_score,
         "pack_sequences": q_pack_sequences,
         "grouped_robust": q_grouped_robust,
+        "stratified_sample": q_stratified_sample,
         "corpus_pipeline": q_corpus_pipeline,
         "validate_tokens": q_validate_tokens,
     }
@@ -1268,6 +1284,17 @@ def oracle_sql() -> dict[str, str]:
                      AS fill_ratio,
                    sum(CASE WHEN n_chars > 2000 THEN 1 ELSE 0 END)::BIGINT AS n_truncated
             FROM p GROUP BY 1
+        """,
+        "stratified_sample": """
+            SELECT source, count(*) AS n_sampled, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents
+            WHERE md5(doc_id::VARCHAR) <
+                  CASE source
+                    WHEN 'src0' THEN printf('%08x', CAST(0.25 * 4294967296 AS BIGINT))
+                    WHEN 'src1' THEN printf('%08x', CAST(0.75 * 4294967296 AS BIGINT))
+                    ELSE printf('%08x', CAST(0.5 * 4294967296 AS BIGINT))
+                  END
+            GROUP BY 1
         """,
         "grouped_robust": """
             WITH s AS (

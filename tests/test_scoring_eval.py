@@ -248,3 +248,25 @@ def test_fit_robust_grouped_matches_single(spark):
         want = FS.fit_robust(df.filter(F.col("g") == g), "x")
         for fld in ("mean", "std", "q1", "median", "q3", "mad", "vmin", "vmax"):
             assert abs(got[g][fld] - getattr(want, fld)) < 1e-9, (g, fld)
+
+
+def test_hash_split_disjoint_covering(spark):
+    from autoprepad_spark.operators.sampling import (
+        deterministic_sample, hash_split,
+    )
+
+    df = spark.createDataFrame([(f"d{i}",) for i in range(2000)], ["doc_id"])
+    train, val, test = hash_split(df, [0.8, 0.1, 0.1])
+    n = [s.count() for s in (train, val, test)]
+    assert sum(n) == 2000  # covering
+    assert abs(n[0] - 1600) < 100 and abs(n[1] - 200) < 60
+    ids = [set(r["doc_id"] for r in s.collect()) for s in (train, val, test)]
+    assert not (ids[0] & ids[1]) and not (ids[0] & ids[2]) and not (ids[1] & ids[2])
+
+    # determinism: same selection at different partitioning
+    a = set(r["doc_id"] for r in deterministic_sample(df, 0.3).collect())
+    b = set(
+        r["doc_id"]
+        for r in deterministic_sample(df.repartition(13), 0.3).collect()
+    )
+    assert a == b
