@@ -646,6 +646,16 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_top_terms(spark, sf):
+    """Per-language heavy hitters (top-5 terms by frequency) — corpus
+    vocabulary analysis; shuffle is |groups| x |terms|, never the corpus."""
+    d = _t(spark, sf, "documents")
+    out = TX.top_k_terms(d, text_col="text", group_col="lang", k=5, min_len=2)
+    return out.select(
+        "lang", "term", "n", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic training-mix sampling: per-source keep rates via
     key-hash thresholds (parallelism-independent, engine-portable —
@@ -783,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_score": q_ensemble_score,
         "pack_sequences": q_pack_sequences,
         "grouped_robust": q_grouped_robust,
+        "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "corpus_pipeline": q_corpus_pipeline,
         "validate_tokens": q_validate_tokens,
@@ -1284,6 +1295,23 @@ def oracle_sql() -> dict[str, str]:
                      AS fill_ratio,
                    sum(CASE WHEN n_chars > 2000 THEN 1 ELSE 0 END)::BIGINT AS n_truncated
             FROM p GROUP BY 1
+        """,
+        "top_terms": f"""
+            WITH words AS (
+              SELECT lang, unnest(string_split({_NORM.format(c='text')}, ' ')) AS term
+              FROM documents
+            ),
+            c AS (
+              SELECT lang, term, count(*) AS n
+              FROM words WHERE length(term) >= 2 GROUP BY 1, 2
+            ),
+            r AS (
+              SELECT lang, term, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, term ASC) AS rank
+              FROM c
+            )
+            SELECT lang, term, n, rank::BIGINT AS rank FROM r WHERE rank <= 5
         """,
         "stratified_sample": """
             SELECT source, count(*) AS n_sampled, sum(n_chars)::BIGINT AS sum_chars

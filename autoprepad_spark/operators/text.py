@@ -123,3 +123,39 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+def top_k_terms(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+    k: int = 5,
+    min_len: int = 1,
+) -> DataFrame:
+    """Per-group heavy hitters: the k most frequent terms with counts.
+
+    (group, term, n, rank) — explode words -> one (group, term) hash agg
+    (map-side combine collapses the explode before the shuffle) -> top-k
+    via a window PARTITIONED by group (no global ordering anywhere; each
+    group's ranking is an independent partition of the tiny aggregated
+    frame). Ties broken by term ascending for determinism. The corpus
+    analysis step of a training pipeline (vocabulary drift, boilerplate
+    detection) at any scale: the shuffled data is |groups| x |terms|,
+    never the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    from autoprepad_spark.operators.dedup import normalize_text
+
+    words = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    ).filter(F.length("term") >= min_len)
+    counts = words.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("grp").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "term", "n", "rank")
+    )

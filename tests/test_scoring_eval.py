@@ -270,3 +270,61 @@ def test_hash_split_disjoint_covering(spark):
         for r in deterministic_sample(df.repartition(13), 0.3).collect()
     )
     assert a == b
+
+
+def test_suite_approx_quantile_path(spark, tokens_df, dim_df):
+    """The percentile_approx (unbounded-domain) fit path must run the
+    full suite and produce hard-check violations identical to the exact
+    path (statistical flags may differ within sketch tolerance)."""
+    from autoprepad_spark.plans.suite import ValidationSuite
+
+    exact = ValidationSuite(exact_quantiles=True).run(tokens_df, dim=dim_df)
+    approx = ValidationSuite(exact_quantiles=False).run(tokens_df, dim=dim_df)
+    hard = ["null_doc_id", "len_mismatch", "token_oob", "empty_tokens",
+            "unique_doc_id", "ref_source"]
+    a = exact.verdicts.filter(F.col("check_name").isin(hard)).toPandas()
+    b = approx.verdicts.filter(F.col("check_name").isin(hard)).toPandas()
+    key = ["part", "check_name"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+    # statistical flags: sketch quantiles stay close to exact
+    sa = exact.verdicts.filter("check_name = 'ntok_tukey'").toPandas()
+    sb = approx.verdicts.filter("check_name = 'ntok_tukey'").toPandas()
+    m = sa.merge(sb, on=["part", "check_name"], suffixes=("_e", "_a"))
+    assert ((m.metric_e - m.metric_a).abs() < 0.05).all()
+    exact.unpersist(); approx.unpersist()
+
+
+def test_resume_with_violation_sink(spark, tokens_df, dim_df, tmp_path):
+    """checkpoint resume + parquet violation sink compose: resumed run's
+    sink holds only remaining partitions' row-check rows, and verdicts
+    match the no-sink resume path."""
+    from autoprepad_spark.plans.checkpoint import CheckpointTable
+    from autoprepad_spark.plans.suite import ValidationSuite
+
+    ck = CheckpointTable(spark, str(tmp_path / "ck"))
+    parts = sorted(p.part for p in tokens_df.select("part").distinct().collect())
+    done = parts[:3]
+    ck.mark("r", [(p, 0, 0, 0.0) for p in done])
+
+    suite = ValidationSuite()
+    with_sink = suite.run(
+        tokens_df, dim=dim_df, checkpoint=ck, run_id="r",
+        violation_sink=str(tmp_path / "sink"),
+    )
+    no_sink = suite.run(tokens_df, dim=dim_df, checkpoint=ck, run_id="r")
+    key = ["part", "check_name"]
+    a = with_sink.verdicts.toPandas().sort_values(key).reset_index(drop=True)
+    b = no_sink.verdicts.toPandas().sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert set(a["part"]) == set(parts) - set(done)
+    # the sink's row-check rows cover only remaining partitions
+    import duckdb
+    sunk = duckdb.sql(
+        f"select distinct part from '{tmp_path}/sink/*.parquet' "
+        "where check_name not in ('unique_doc_id')"
+    ).df()
+    assert set(sunk["part"]) <= set(parts) - set(done)
+    no_sink.unpersist()
