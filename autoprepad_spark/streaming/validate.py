@@ -27,7 +27,7 @@ Design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from autoprepad_spark.operators.marking import mark_slim
 from autoprepad_spark.operators.profile import ProfileStats
@@ -147,6 +147,77 @@ def stream_drift(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_running_totals(
+    events: DataFrame,
+    *,
+    key_col: str = "source",
+    value_col: str = "n_tok",
+):
+    """Custom STATEFUL streaming operator (applyInPandasWithState): live
+    per-key running totals across micro-batches.
+
+    Unlike the windowed aggs in stream_profile (engine-managed state),
+    this keeps arbitrary user state — here (n, total, vmin, vmax) per
+    key — and re-emits the updated running profile each batch: the shape
+    for custom accumulators the built-in operators can't express
+    (decayed counters, model state, cross-batch invariants). State is
+    constant-size per key and checkpoint-recovered, so an unbounded
+    stream holds |keys| state rows total.
+
+    Returns the transformed streaming frame; caller attaches a sink with
+    outputMode("update").
+    """
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.LongType()),
+            T.StructField("vmin", T.LongType()),
+            T.StructField("vmax", T.LongType()),
+            T.StructField("mean", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.LongType()),
+            T.StructField("vmin", T.LongType()),
+            T.StructField("vmax", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        n, total, vmin, vmax = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        for pdf in pdfs:
+            v = pdf[value_col].dropna()
+            if len(v):
+                n += int(len(v))
+                total += int(v.sum())
+                bmin, bmax = int(v.min()), int(v.max())
+                vmin = bmin if vmin is None else min(vmin, bmin)
+                vmax = bmax if vmax is None else max(vmax, bmax)
+        state.update((n, total, vmin, vmax))
+        yield pd.DataFrame(
+            [[key[0], n, total, vmin, vmax, total / max(n, 1)]],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return (
+        events.select(F.col(key_col).cast("string").alias("key"), value_col)
+        .groupBy("key")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
 
 
 def stream_profile(

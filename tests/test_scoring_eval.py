@@ -328,3 +328,63 @@ def test_resume_with_violation_sink(spark, tokens_df, dim_df, tmp_path):
     ).df()
     assert set(sunk["part"]) <= set(parts) - set(done)
     no_sink.unpersist()
+
+
+def test_stream_running_totals_stateful(spark, tmp_path):
+    """applyInPandasWithState: running per-key totals must ACCUMULATE
+    across micro-batches (state survives between drains via the
+    streaming checkpoint)."""
+    from autoprepad_spark import datagen as G
+    from autoprepad_spark.streaming.validate import stream_running_totals
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    b1 = G.generate_tokens(spark, 6_000, seed=31, n_parts=4)
+    b1.write.mode("overwrite").parquet(inp)
+
+    out_dir = str(tmp_path / "out")
+
+    def drain(name):
+        stream = spark.readStream.schema(
+            "doc_id string, tokens array<int>, n_tok int, source string, part string"
+        ).parquet(inp)
+
+        def sink(bdf, bid):
+            bdf.withColumn("batch_id", F.lit(bid)).write.mode("append").parquet(out_dir)
+
+        q = (
+            stream_running_totals(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        pdf = spark.read.parquet(out_dir).toPandas()
+        # latest emitted running totals per key
+        return pdf.sort_values("batch_id").groupby("key").tail(1)
+
+    got1 = drain("srt1")
+    want1 = (
+        b1.groupBy("source").agg(F.count("n_tok").alias("n"), F.sum("n_tok").alias("t"))
+        .toPandas().set_index("source")
+    )
+    g1 = got1.set_index("key")
+    for k in want1.index:
+        assert g1.loc[k, "n"] == want1.loc[k, "n"]
+        assert g1.loc[k, "total"] == want1.loc[k, "t"]
+
+    # second drop: totals must include BOTH batches (state carried over)
+    b2 = G.generate_tokens(spark, 4_000, seed=32, n_parts=4)
+    b2.write.mode("append").parquet(inp)
+    got2 = drain("srt2")
+    both = b1.unionByName(b2)
+    want2 = (
+        both.groupBy("source").agg(F.count("n_tok").alias("n"), F.sum("n_tok").alias("t"))
+        .toPandas().set_index("source")
+    )
+    g2 = got2.set_index("key")
+    for k in want2.index:
+        assert g2.loc[k, "n"] == want2.loc[k, "n"]
+        assert g2.loc[k, "total"] == want2.loc[k, "t"]
