@@ -173,18 +173,42 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    method: str = "sample",
+    max_iter: int = 10,
 ) -> tuple[DataFrame, np.ndarray]:
-    """Assign each vector to an IVF cell. Centroids = deterministic seeded
-    sample of the corpus (k-means init without the iterations — adequate
-    as a coarse quantizer; swap in pyspark.ml KMeans for tighter cells).
+    """Assign each vector to an IVF cell; returns (assigned, centroids).
+
+    method="sample": centroids = deterministic seeded corpus sample
+    (TakeOrderedAndProject over a hash ordering — per-partition top-k,
+    no global sort). k-means init without the iterations — adequate as a
+    coarse quantizer and fully parallelism-independent.
+
+    method="kmeans": distributed Lloyd iterations via pyspark.ml.KMeans
+    (seeded k-means|| init) for tighter cells / better probe recall.
+    Note the trained centers can depend on input partitioning (parallel
+    init sampling), so use "sample" where bit-identical builds across
+    cluster sizes matter more than cell quality.
     """
-    sample = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")) + seed, F.lit(997)), F.col(id_col))
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
+    if method == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = corpus.select(
+            id_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("_f")
+        )
+        km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_f")
+        model = km.fit(feat)
+        centroids = np.array(
+            [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
+        )
+    else:
+        sample = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")) + seed, F.lit(997)), F.col(id_col))
+            .limit(n_cells)
+            .collect()
+        )
+        centroids = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
     assign = _assign_udf(centroids)
     assigned = corpus.withColumn("cell", assign(F.col(vec_col)))
     return assigned, centroids

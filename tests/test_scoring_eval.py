@@ -388,3 +388,35 @@ def test_stream_running_totals_stateful(spark, tmp_path):
     for k in want2.index:
         assert g2.loc[k, "n"] == want2.loc[k, "n"]
         assert g2.loc[k, "total"] == want2.loc[k, "t"]
+
+
+def test_ivf_kmeans_build_recall(spark):
+    """pyspark.ml-KMeans-built IVF must beat-or-match the sampled build's
+    probe recall against brute force on a small corpus."""
+    import numpy as np
+
+    from autoprepad_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 16)).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    q = df.filter(F.col("vec_id") < 8)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(df, q, k=3).collect()
+    }
+
+    def recall(method):
+        assigned, cents = SIM.ivf_build(df, n_cells=6, seed=1, method=method)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.ivf_topk(assigned, cents, q, k=3, nprobe=3).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_sample, r_kmeans = recall("sample"), recall("kmeans")
+    assert r_kmeans >= 0.6 and r_sample >= 0.4
+    assert r_kmeans >= r_sample - 0.15  # kmeans cells at least comparable
