@@ -60,6 +60,9 @@ class ValidationResult:
     marked: DataFrame
     drift: DataFrame | None = None
     schema_issues: list = field(default_factory=list)
+    #: run metrics captured via Observation on the violations write —
+    #: free of charge (no extra pass): n_violation_rows, n_partitions
+    metrics: dict = field(default_factory=dict)
     _cached: list = field(default_factory=list)
 
     def top_violations(self, n: int = 100) -> DataFrame:
@@ -79,6 +82,11 @@ class ValidationSuite:
     stat_max_rate: float = V.STAT_MAX_RATE
     bucket_width: int = drift_mod.DEFAULT_BUCKET_WIDTH
     validate_input_schema: bool = True
+    #: restrict to a subset of ALL_CHECKS (the reference's exclusion
+    #: knobs, pipelines/runs.py:287-308); None = run everything. Skipped
+    #: branches are skipped in the PLAN (no uniqueness shuffle when
+    #: unique_doc_id is excluded, no dim collect when ref_source is).
+    checks: list[str] | None = None
 
     def run(
         self,
@@ -104,12 +112,17 @@ class ValidationSuite:
 
         todo = checkpoint.remaining(df, run_id) if checkpoint and run_id else df
 
+        selected = set(self.checks) if self.checks is not None else set(ALL_CHECKS)
+        unknown = selected - set(ALL_CHECKS)
+        if unknown:
+            raise ValueError(f"unknown checks: {sorted(unknown)}")
+
         # Referential check: the dimension side must fit executor memory
         # to be broadcastable at all, so collect it once and inline the
         # check into the marking pass as a literal isin flag — no second
         # fact-table scan, no anti-join.
         allowed = None
-        if dim is not None:
+        if dim is not None and "ref_source" in selected:
             d = dim
             if "active" in dim.columns:
                 d = d.filter(F.col("active"))
@@ -134,26 +147,28 @@ class ValidationSuite:
         # the violations job below, which runs exactly once (violations
         # are materialized eagerly). Every other pass below is
         # column-pruned and never touches `tokens`.
-        row_viol = V.explode_violations(marked)
+        row_viol = V.explode_violations(marked, include=selected)
 
         # uniqueness over the FULL table (cross-partition duplicates must
         # be caught even on resume): needs only key + light columns — a
         # column-pruned scan shuffling 8-byte key hashes, independent of
         # the marking pass
-        dup_src = df.select("part", "doc_id", "n_tok", "source")
-        dup_viol = (
-            duplicate_rows(dup_src, "doc_id")
-            .select(
-                "part",
-                F.lit("unique_doc_id").alias("check_name"),
-                "doc_id",
-                F.lit(None).cast("string").alias("detail"),
+        dup_viol = None
+        if "unique_doc_id" in selected:
+            dup_src = df.select("part", "doc_id", "n_tok", "source")
+            dup_viol = (
+                duplicate_rows(dup_src, "doc_id")
+                .select(
+                    "part",
+                    F.lit("unique_doc_id").alias("check_name"),
+                    "doc_id",
+                    F.lit(None).cast("string").alias("detail"),
+                )
             )
-        )
-        if checkpoint and run_id:
-            done = checkpoint.completed_parts(run_id)
-            if done:
-                dup_viol = dup_viol.filter(~F.col("part").isin(done))
+            if checkpoint and run_id:
+                done = checkpoint.completed_parts(run_id)
+                if done:
+                    dup_viol = dup_viol.filter(~F.col("part").isin(done))
 
         # per-partition row counts ride the same job as a fused branch
         # (tagged rows in the union) instead of costing their own scan
@@ -166,7 +181,25 @@ class ValidationSuite:
             F.col("_rc").cast("string").alias("detail"),
         )
 
-        violations = row_viol.unionByName(dup_viol).unionByName(rc_rows)
+        violations = row_viol.unionByName(rc_rows)
+        if dup_viol is not None:
+            violations = violations.unionByName(dup_viol)
+        # free run metrics: Observation aggregates ride the same action
+        # that materializes the union — no extra pass over anything
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        violations = violations.observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("check_name") != ROW_COUNT_MARK).cast("long")),
+                F.lit(0),
+            ).alias("n_violation_rows"),
+            F.coalesce(
+                F.sum((F.col("check_name") == ROW_COUNT_MARK).cast("long")),
+                F.lit(0),
+            ).alias("n_partitions"),
+        )
         # Materialize the violation set ONCE, eagerly — consuming it
         # lazily through downstream joins does not reliably populate a
         # cache (observed: the verdict DAG's broadcast side bypassed it),
@@ -188,8 +221,10 @@ class ValidationSuite:
             F.col("check_name") == ROW_COUNT_MARK
         ).select("part", F.col("detail").cast("long").alias("row_count"))
         violations = violations.filter(F.col("check_name") != ROW_COUNT_MARK)
-        check_names = ALL_CHECKS if dim is not None else [
-            c for c in ALL_CHECKS if c != "ref_source"
+        check_names = [
+            c
+            for c in ALL_CHECKS
+            if c in selected and (c != "ref_source" or dim is not None)
         ]
         verdicts = V.assemble_verdicts(
             row_counts, violations, check_names, stat_max_rate=self.stat_max_rate
@@ -207,5 +242,6 @@ class ValidationSuite:
             marked=marked,
             drift=drift_df,
             schema_issues=issues,
+            metrics=dict(obs.get),
             _cached=cached,
         )

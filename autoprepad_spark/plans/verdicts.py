@@ -38,7 +38,7 @@ HARD_CHECKS = {
 STAT_MAX_RATE = 0.1
 
 
-def explode_violations(marked: DataFrame) -> DataFrame:
+def explode_violations(marked: DataFrame, include: set[str] | None = None) -> DataFrame:
     """Marked rows -> one violation row per (row, violated check).
 
     Filter-before-explode: only rows with flag_total > 0 reach the
@@ -69,6 +69,8 @@ def explode_violations(marked: DataFrame) -> DataFrame:
     ]
     if REF_FLAG in marked.columns:
         checks.append((REF_CHECK, REF_FLAG, F.col("source")))
+    if include is not None:
+        checks = [c for c in checks if c[0] in include]
     pairs = F.array(
         *[
             F.struct(

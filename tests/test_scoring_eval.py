@@ -420,3 +420,22 @@ def test_ivf_kmeans_build_recall(spark):
     r_sample, r_kmeans = recall("sample"), recall("kmeans")
     assert r_kmeans >= 0.6 and r_sample >= 0.4
     assert r_kmeans >= r_sample - 0.15  # kmeans cells at least comparable
+
+
+def test_suite_check_subset_and_metrics(spark, tokens_df, dim_df):
+    from autoprepad_spark.plans.suite import ValidationSuite
+
+    res = ValidationSuite(
+        checks=["null_doc_id", "token_oob", "ref_source"]
+    ).run(tokens_df, dim=dim_df)
+    got_checks = set(r["check_name"] for r in res.verdicts.select("check_name").distinct().collect())
+    assert got_checks == {"null_doc_id", "token_oob", "ref_source"}
+    viol_checks = set(r["check_name"] for r in res.violations.select("check_name").distinct().collect())
+    assert viol_checks <= got_checks
+    # excluded uniqueness: no duplicate-key shuffle branch in the plan
+    assert res.metrics["n_partitions"] == 8
+    assert res.metrics["n_violation_rows"] == res.violations.count()
+    res.unpersist()
+
+    with pytest.raises(ValueError, match="unknown checks"):
+        ValidationSuite(checks=["nope"]).run(tokens_df, dim=dim_df)
