@@ -106,6 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         "partitions_validated": len(per_part),
         "failed_checks": n_fail,
         "elapsed_sec": round(elapsed, 2),
+        **{f"metric_{k}": v for k, v in res.metrics.items()},
     }
     print(json.dumps(summary))
     res.unpersist()
