@@ -646,6 +646,20 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_profile_rollup(spark, sf):
+    """Per-group + grand-total profile in ONE rollup hash agg (the
+    grouping-sets plan shape, no union of two aggregations)."""
+    from autoprepad_spark.operators.profile import profile_table
+
+    li = _t(spark, sf, "lineitem")
+    out = profile_table(li, "l_returnflag", "l_quantity")
+    return out.select(
+        "l_returnflag", "n_rows", "n_null",
+        F.round("vmin", 2).alias("vmin"), F.round("vmax", 2).alias("vmax"),
+        F.round("mean", 6).alias("mean"), F.round("std", 6).alias("std"),
+    )
+
+
 def q_top_terms(spark, sf):
     """Per-language heavy hitters (top-5 terms by frequency) — corpus
     vocabulary analysis; shuffle is |groups| x |terms|, never the corpus."""
@@ -793,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_score": q_ensemble_score,
         "pack_sequences": q_pack_sequences,
         "grouped_robust": q_grouped_robust,
+        "profile_rollup": q_profile_rollup,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "corpus_pipeline": q_corpus_pipeline,
@@ -1295,6 +1310,17 @@ def oracle_sql() -> dict[str, str]:
                      AS fill_ratio,
                    sum(CASE WHEN n_chars > 2000 THEN 1 ELSE 0 END)::BIGINT AS n_truncated
             FROM p GROUP BY 1
+        """,
+        "profile_rollup": """
+            SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '__all__'
+                        ELSE l_returnflag END AS l_returnflag,
+                   count(*) AS n_rows,
+                   (count(*) - count(l_quantity)) AS n_null,
+                   round(min(l_quantity), 2) AS vmin,
+                   round(max(l_quantity), 2) AS vmax,
+                   round(avg(l_quantity), 6) AS mean,
+                   round(stddev_samp(l_quantity), 6) AS std
+            FROM lineitem GROUP BY ROLLUP(l_returnflag)
         """,
         "top_terms": f"""
             WITH words AS (

@@ -176,6 +176,43 @@ def _quantile_frame(hist: DataFrame) -> DataFrame:
     return both.groupBy("part").applyInPandas(_quantile_rows, _Q_SCHEMA)
 
 
+def profile_table(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    include_distinct: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Generic per-group + global profile of any (group, value) pair via
+    ROLLUP — one partial+final hash-agg scan produces every group's row
+    AND the grand-total row (the grouping-sets pattern; no second pass,
+    no union). The global row's group value is GLOBAL_PART.
+
+    include_distinct adds HyperLogLog distinct counts (engine-specific
+    sketch values — leave off for cross-engine comparisons)."""
+    v = F.col(value_col).cast("double")
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.isnull(v).cast("long")).alias("n_null"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.avg(v).alias("mean"),
+        F.stddev_samp(v).alias("std"),
+    ]
+    if include_distinct:
+        aggs.append(F.approx_count_distinct(value_col, rsd).alias("approx_distinct"))
+    return (
+        df.rollup(group_col)
+        .agg(*aggs, F.grouping(group_col).alias("_g"))
+        .withColumn(
+            group_col,
+            F.when(F.col("_g") == 1, F.lit(GLOBAL_PART)).otherwise(F.col(group_col)),
+        )
+        .drop("_g")
+    )
+
+
 def profile(df: DataFrame, *, exact_quantiles: bool = True) -> DataFrame:
     """Per-partition + global profile rows.
 
