@@ -646,6 +646,29 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_asof_join(spark, sf):
+    """As-of join (Spark lacks it natively): each view event gets the
+    user's most recent purchase value at-or-before its timestamp. One
+    key shuffle + per-key window — no range join, no row explosion.
+    Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from autoprepad_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    # dedupe right per (key, ts) so the at-tie winner is engine-independent
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    out = asof_join(left, right, on="user_id", ts_col="ts", value_cols=["value"])
+    return out.agg(
+        F.count(F.lit(1)).alias("n_left"),
+        F.sum(F.col("value_asof").isNotNull().cast("long")).alias("n_matched"),
+        F.round(F.sum("value_asof"), 2).alias("sum_asof"),
+    )
+
+
 def q_profile_rollup(spark, sf):
     """Per-group + grand-total profile in ONE rollup hash agg (the
     grouping-sets plan shape, no union of two aggregations)."""
@@ -807,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_score": q_ensemble_score,
         "pack_sequences": q_pack_sequences,
         "grouped_robust": q_grouped_robust,
+        "asof_join": q_asof_join,
         "profile_rollup": q_profile_rollup,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
@@ -1310,6 +1334,18 @@ def oracle_sql() -> dict[str, str]:
                      AS fill_ratio,
                    sum(CASE WHEN n_chars > 2000 THEN 1 ELSE 0 END)::BIGINT AS n_truncated
             FROM p GROUP BY 1
+        """,
+        "asof_join": """
+            WITH l AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'view'),
+                 r AS (SELECT user_id, ts, max(value) AS value FROM events
+                       WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT count(*) AS n_left,
+                   sum(CASE WHEN r.value IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_matched,
+                   round(sum(r.value), 2) AS sum_asof
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "profile_rollup": """
             SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '__all__'

@@ -439,3 +439,24 @@ def test_suite_check_subset_and_metrics(spark, tokens_df, dim_df):
 
     with pytest.raises(ValueError, match="unknown checks"):
         ValidationSuite(checks=["nope"]).run(tokens_df, dim=dim_df)
+
+
+def test_asof_join_semantics(spark):
+    from autoprepad_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u1", 5, "c"), ("u2", 10, "d")],
+        ["user", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [("u1", 7, 70.0), ("u1", 10, 100.0), ("u1", 15, 150.0), ("u3", 1, 1.0)],
+        ["user", "ts", "v"],
+    )
+    out = {
+        r["tag"]: r["v_asof"]
+        for r in asof_join(
+            left, right, on="user", ts_col="ts", value_cols=["v"]
+        ).collect()
+    }
+    # ts=10 sees the equal-timestamp right row (>= semantics); ts=5 none
+    assert out == {"a": 100.0, "b": 150.0, "c": None, "d": None}
