@@ -646,6 +646,23 @@ def q_pack_sequences(spark, sf):
     )
 
 
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (30-min gap) per user over the events
+    stream; per-user-session stats aggregated. One key shuffle."""
+    from autoprepad_spark.operators.asof import sessionize
+
+    ev = _t(spark, sf, "events")
+    s = sessionize(
+        ev, key_col="user_id", ts_col="ts", gap_seconds=1800, tiebreak="event_id"
+    )
+    sess = s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return sess.groupBy("n_events").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
 def q_asof_join(spark, sf):
     """As-of join (Spark lacks it natively): each view event gets the
     user's most recent purchase value at-or-before its timestamp. One
@@ -830,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_score": q_ensemble_score,
         "pack_sequences": q_pack_sequences,
         "grouped_robust": q_grouped_robust,
+        "sessionize": q_sessionize,
         "asof_join": q_asof_join,
         "profile_rollup": q_profile_rollup,
         "top_terms": q_top_terms,
@@ -1334,6 +1352,30 @@ def oracle_sql() -> dict[str, str]:
                      AS fill_ratio,
                    sum(CASE WHEN n_chars > 2000 THEN 1 ELSE 0 END)::BIGINT AS n_truncated
             FROM p GROUP BY 1
+        """,
+        "sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            m AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN prev IS NULL
+                           OR date_diff('second', prev, ts) > 1800 THEN 1
+                          ELSE 0 END AS new_sess
+              FROM o
+            ),
+            s AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                       AS session_idx
+              FROM m
+            ),
+            g AS (SELECT user_id, session_idx, count(*) AS n_events
+                  FROM s GROUP BY 1, 2)
+            SELECT n_events, count(*) AS n_sessions FROM g GROUP BY 1
         """,
         "asof_join": """
             WITH l AS (SELECT user_id, ts, event_id FROM events

@@ -71,3 +71,36 @@ def asof_join(
     for n in out_names:
         unioned = unioned.withColumn(n, F.last(n, ignorenulls=True).over(w))
     return unioned.filter(F.col("_side") == 1).drop("_side")
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: rows more than ``gap_seconds`` apart
+    start a new session per key. Appends ``session_idx`` (0-based per
+    key, in time order).
+
+    The batch formulation of what Structured Streaming calls session
+    windows: new_session = (ts - lag(ts) > gap), session_idx =
+    running sum — two expressions over ONE partitioned window (a single
+    key shuffle, per-key sort, no self-join). ``tiebreak`` makes
+    equal-timestamp ordering deterministic at any parallelism.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = W.partitionBy(key_col).orderBy(*order)
+    # epoch seconds via unix_timestamp (TIMESTAMP_NTZ has no direct long
+    # cast; the ntz->ltz cast is exact under the engine's fixed UTC zone)
+    sec = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(sec).over(w)
+    new_sess = (
+        prev.isNull() | (sec - prev > gap_seconds)
+    ).cast("long")
+    run = W.partitionBy(key_col).orderBy(*order).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return df.withColumn("session_idx", (F.sum(new_sess).over(run) - 1).cast("long"))

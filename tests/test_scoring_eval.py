@@ -460,3 +460,25 @@ def test_asof_join_semantics(spark):
     }
     # ts=10 sees the equal-timestamp right row (>= semantics); ts=5 none
     assert out == {"a": 100.0, "b": 150.0, "c": None, "d": None}
+
+
+def test_sessionize_gap_semantics(spark):
+    from autoprepad_spark.operators.asof import sessionize
+
+    rows = [
+        ("u1", "2024-01-01 00:00:00", 1),
+        ("u1", "2024-01-01 00:10:00", 2),   # same session (10 min)
+        ("u1", "2024-01-01 01:00:00", 3),   # 50 min gap -> new session
+        ("u1", "2024-01-01 01:20:00", 4),
+        ("u2", "2024-01-01 00:00:00", 5),
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "eid"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {
+        r["eid"]: r["session_idx"]
+        for r in sessionize(
+            df, key_col="u", ts_col="ts", gap_seconds=1800, tiebreak="eid"
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
