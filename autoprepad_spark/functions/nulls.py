@@ -92,3 +92,61 @@ def impute_mode(df: DataFrame, cols: list[str]) -> DataFrame:
     for c in cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(modes[c])))
     return out
+
+
+def regression_impute(
+    df: DataFrame,
+    target: str,
+    features: list[str],
+    *,
+    n_iter: int = 1,
+) -> DataFrame:
+    """Regression-based imputation — the distributed analog of the
+    reference's experimental IterativeImputer (round-robin regression,
+    /root/reference/pipelines/configuration.py:218,244).
+
+    Each round fits OLS on the complete rows via normal equations:
+    ONE wide aggregation of the {X^T X, X^T y} moments (k features
+    -> (k+1)(k+4)/2 mergeable sums, no shuffle of rows), solved
+    driver-side in numpy; prediction is a pure Column expression, so the
+    fill costs one projection. Rows missing a feature fall back to the
+    complete-rows target mean (IterativeImputer's mean initialization).
+    n_iter > 1 re-fits after filling (matters only when features
+    themselves contain imputed values; with fully-observed features one
+    round IS the fixed point).
+    """
+    import numpy as np
+
+    k = len(features)
+    out = df
+    for _ in range(max(n_iter, 1)):
+        complete = out.na.drop("any", subset=[target] + features)
+        cols = [F.lit(1.0)] + [F.col(c).cast("double") for c in features]
+        y = F.col(target).cast("double")
+        aggs = []
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                aggs.append(F.sum(cols[i] * cols[j]).alias(f"_x{i}_{j}"))
+            aggs.append(F.sum(cols[i] * y).alias(f"_y{i}"))
+        row = complete.agg(*aggs).collect()[0]
+        xtx = np.empty((k + 1, k + 1))
+        xty = np.empty(k + 1)
+        for i in range(k + 1):
+            for j in range(i, k + 1):
+                xtx[i, j] = xtx[j, i] = row[f"_x{i}_{j}"]
+            xty[i] = row[f"_y{i}"]
+        beta = np.linalg.solve(xtx, xty)
+        mean_y = xty[0] / xtx[0, 0]  # complete-rows target mean
+        pred = F.lit(float(beta[0]))
+        for i, c in enumerate(features):
+            pred = pred + F.col(c).cast("double") * F.lit(float(beta[i + 1]))
+        feats_ok = F.lit(True)
+        for c in features:
+            feats_ok = feats_ok & F.col(c).isNotNull()
+        out = out.withColumn(
+            target,
+            F.when(F.col(target).isNotNull(), F.col(target).cast("double"))
+            .when(feats_ok, pred)
+            .otherwise(F.lit(float(mean_y))),
+        )
+    return out

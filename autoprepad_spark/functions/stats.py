@@ -52,15 +52,26 @@ def _pct(col: Column, probs, exact: bool):
     return F.percentile_approx(col, probs, 10_000)
 
 
+#: ceiling on total histogram cells collected to the driver by the
+#: ``hist`` fit path — ~2M (value, count) float pairs is tens of MB,
+#: comfortably within driver memory; a genuinely continuous column
+#: would produce row-count-sized "histograms" and must use
+#: method="approx" instead (the guard raises rather than OOM silently).
+MAX_HIST_CELLS = 2_000_000
+
+
 def _col_histograms(
-    df: DataFrame, cols: list[str]
+    df: DataFrame, cols: list[str], *, max_cells: int = MAX_HIST_CELLS
 ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
     """Per-column (values, counts) histograms from ONE scan.
 
     All columns' values go through a single explode -> groupBy(col, value)
     hash agg; map-side partial aggregation collapses the explode before
     the shuffle, so the exchanged data is bounded by the value domains,
-    not the row count."""
+    not the row count. The bounded-domain contract is ENFORCED: more
+    than ``max_cells`` total distinct cells raises (use method="approx"
+    for continuous/unbounded columns) instead of collecting an
+    unbounded result to the driver."""
     pairs = F.explode(
         F.array(
             *[
@@ -80,8 +91,15 @@ def _col_histograms(
         .filter(F.col("v").isNotNull())
         .groupBy("c", "v")
         .agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_cells + 1)  # LIMIT n+1 probe, same as fit_vocabulary
         .toPandas()
     )
+    if len(pdf) > max_cells:
+        raise ValueError(
+            f"histogram fit over {cols} exceeds {max_cells} distinct cells — "
+            "the column domain is not bounded; use method='approx' "
+            "(percentile_approx sketch) for continuous columns"
+        )
     out = {}
     for c in cols:
         sub = pdf[pdf["c"] == c]

@@ -67,10 +67,17 @@ def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     Plan: k histogram aggs (one per column) + ONE row scan that
     broadcast-joins the rank tables and aggregates all pairwise
     sufficient statistics. No global window / single-partition sort
-    anywhere in the plan (asserted by tests)."""
-    ranked = df.select(*cols)
+    anywhere in the plan (asserted by tests).
+
+    Nulls are dropped LISTWISE (any-null rows removed BEFORE ranking,
+    scipy's matrix nan_policy='omit' semantics). Ranking after the drop
+    matters: ranks built from each column's own non-null histogram and
+    joined afterwards would leave surviving rows with ranks that are no
+    longer 1..n, silently skewing rho."""
+    base = df.select(*cols).na.drop("any", subset=cols)
+    ranked = base
     for c in cols:
-        rt = _rank_table(df, c).select(
+        rt = _rank_table(base, c).select(
             F.col("value").alias(c), F.col("avg_rank").alias(f"r_{c}")
         )
         ranked = ranked.join(F.broadcast(rt), c, "inner")

@@ -26,6 +26,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+#: LSH band buckets larger than this are dropped before the candidate
+#: self-join. An oversized bucket means a cluster of (near-)identical
+#: band signatures — overwhelmingly exact/boilerplate duplicates that the
+#: md5 exact-dedup pass already catches pairwise-free — and joining it
+#: would emit O(size^2) pair rows (the classic boilerplate-corpus blowup
+#: at web scale: millions of identical docs -> one bucket -> quadratic).
+DEFAULT_MAX_BUCKET = 200
+
 MERSENNE_61 = (1 << 61) - 1
 # minhash permutations operate mod 2^31 so a*h + b stays within a signed
 # 64-bit long under ANSI arithmetic (a, h < 2^31 -> a*h < 2^62)
@@ -38,16 +46,41 @@ def normalize_text(col) -> F.Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_exemplars: int = 5,
+) -> DataFrame:
     """Groups of byte-identical (normalized) texts: (text_hash, dup_count,
-    doc_ids). Shuffles 16-byte md5 keys, not documents."""
-    h = F.md5(normalize_text(text_col)).alias("text_hash")
+    doc_ids) where doc_ids is a DETERMINISTIC bounded exemplar set (the
+    ``max_exemplars`` smallest ids). Shuffles 16-byte md5 keys, not
+    documents.
+
+    Scale note: a naive collect_list(doc_id) per group is an unbounded
+    aggregation buffer — one pathological group (e.g. millions of empty
+    documents hashing identically) OOMs a single reducer. Here a
+    row_number window ranks ids within each hash group (sort-based,
+    spills to disk instead of buffering), and the aggregation collects
+    ONLY ranks <= K (collect_list skips the nulls the when() emits for
+    the rest) — per-group agg state is bounded by K. ONE scan, one
+    shuffle: the groupBy reuses the window's hash partitioning, so no
+    second exchange."""
+    hashed = df.select(
+        F.md5(normalize_text(text_col)).alias("text_hash"), F.col(id_col)
+    )
+    w = W.partitionBy("text_hash").orderBy(id_col)
     return (
-        df.select(h, F.col(id_col))
+        hashed.withColumn("_rn", F.row_number().over(w))
         .groupBy("text_hash")
         .agg(
             F.count(F.lit(1)).alias("dup_count"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= max_exemplars, F.col(id_col))
+                )
+            ).alias("doc_ids"),
         )
         .filter(F.col("dup_count") > 1)
     )
@@ -118,13 +151,26 @@ def minhash_candidates(
     id_col: str = "doc_id",
     bands: int = 8,
     num_hashes: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     Bucket key = hash(band slice) — uniform, shuffle-friendly. Pair
-    generation happens per bucket via a self-join on the bucket key;
-    bucket sizes are bounded by construction (identical band = near-dup),
-    so the join never degenerates.
+    generation happens per bucket via a self-join on the bucket key.
+
+    max_bucket_size: the quadratic-blowup guard. Buckets above the cap
+    are DROPPED before the self-join (a count window over the same
+    (band, bucket) shuffle — no extra exchange). Oversized buckets mean
+    thousands of docs with an identical band signature — boilerplate /
+    exact-dup clusters that the md5 exact pass already catches without
+    pair enumeration; keeping them would emit O(size^2) pair rows per
+    bucket on a web crawl. ``None`` disables the cap (small corpora,
+    recall proofs).
+
+    LAZY: returns the candidate-pair plan with no side effects. The
+    bucket table feeds both sides of the self-join, so callers should
+    cache/materialize the (tiny) ``signatures`` frame — otherwise the
+    whole shingle+minhash pipeline upstream executes once per side.
     """
     if num_hashes is None:  # driver peek = one full pipeline execution
         num_hashes = len(signatures.select("sig").first()["sig"])
@@ -143,25 +189,21 @@ def minhash_candidates(
     buckets = signatures.select(F.col(id_col).alias("_id"), F.explode(band_cols).alias("bb")).select(
         "_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    # tiny (n_docs x bands rows) — cache so the shingle+minhash pipeline
-    # upstream executes once, not once per self-join side
-    buckets = buckets.cache()
-    buckets.count()
+    if max_bucket_size is not None:
+        bw = W.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bn", F.count(F.lit(1)).over(bw))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    pairs = (
+    return (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
-    # Materialize the (small) pair set, then free the bucket cache so a
-    # long-lived session doesn't leak one bucket-table cache per call.
-    # Callers may .unpersist() the returned frame when done with it.
-    pairs = pairs.cache()
-    pairs.count()
-    buckets.unpersist()
-    return pairs
 
 
 def verify_pairs_jaccard(
@@ -173,16 +215,21 @@ def verify_pairs_jaccard(
     k_shingle: int = 3,
     threshold: float = 0.9,
     shingles: DataFrame | None = None,
+    broadcast_pairs: bool = False,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs: (id_a, id_b, jaccard).
 
     The canonical LSH pattern — candidates come from minhash/simhash
     banding (cheap, probabilistic), truth from exact shingle-set overlap
-    computed ONLY for candidates. The candidate set is broadcast (tiny
-    relative to the corpus: near-dup pairs, not all pairs), so both
-    shingle joins stream the inverted index once with no extra shuffle
-    of the corpus. ``shingles``: precomputed (_id, _h) frame to share
-    the index with the candidate generator.
+    computed ONLY for candidates. By default the join strategy is left
+    to AQE: when the candidate set is small (the common case) AQE
+    converts the join to a runtime broadcast from its measured size; on
+    a near-dup-heavy corpus whose candidate set exceeds the broadcast
+    ceiling it stays a shuffled join instead of forcing an executor OOM.
+    ``broadcast_pairs=True`` pins the broadcast hint for callers that
+    KNOW the set is tiny and want to skip the candidate-side shuffle.
+    ``shingles``: precomputed (_id, _h) frame to share the index with
+    the candidate generator.
     """
     base = (
         shingles if shingles is not None
@@ -192,8 +239,11 @@ def verify_pairs_jaccard(
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("_id").alias("id_a"), F.col("_h"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_h"))
+    p = pairs.select("id_a", "id_b")
+    if broadcast_pairs:
+        p = F.broadcast(p)
     inter = (
-        a.join(F.broadcast(pairs.select("id_a", "id_b")), "id_a")
+        a.join(p, "id_a")
         .join(b, ["id_b", "_h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -58,12 +58,55 @@ def confusion(df: DataFrame, y_true: Column, y_pred: Column) -> DataFrame:
     )
 
 
+#: joint-histogram cell ceiling for pr_sweep/predict: above this the
+#: score is treated as continuous and quantized (bounded driver state).
+MAX_SCORE_CELLS = 100_000
+QUANT_BINS = 10_000
+
+
+def quantized_score_hist(
+    df: DataFrame,
+    score_col: str,
+    y_true: Column | None,
+    *,
+    max_cells: int = MAX_SCORE_CELLS,
+    bins: int = QUANT_BINS,
+) -> list:
+    """Joint (score [, label]) value-count histogram with bounded driver
+    state: exact for bounded score domains (the integer flag-count case),
+    quantized to ``bins`` uniform buckets when the domain is continuous.
+
+    The LIMIT n+1 probe detects unbounded domains without an extra
+    count-distinct pass; the quantized fallback represents each bucket
+    by its midpoint, so downstream percentile thresholds carry a
+    documented tolerance of (max-min)/bins — while the groupBy stays a
+    plain codegen hash agg with ``bins`` cells instead of one cell per
+    distinct double (≈ per row)."""
+    s = F.col(score_col).cast("double")
+    keys = [s.alias("_s")] + ([y_true.cast("int").alias("_y")] if y_true is not None else [])
+    base = df.filter(s.isNotNull())
+    rows = (
+        base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+        .limit(max_cells + 1)
+        .collect()
+    )
+    if len(rows) <= max_cells:
+        return rows
+    lo, hi = base.agg(F.min(s), F.max(s)).collect()[0]
+    width = (hi - lo) / bins if hi > lo else 1.0
+    bucket = F.least(F.floor((s - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
+    mid = (F.lit(lo) + (bucket + 0.5) * F.lit(width)).alias("_s")
+    keys = [mid] + ([y_true.cast("int").alias("_y")] if y_true is not None else [])
+    return base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n")).collect()
+
+
 def pr_sweep(
     df: DataFrame,
     score_col: str,
     y_true: Column,
     *,
     pcts: list[int] | None = None,
+    max_score_cells: int = MAX_SCORE_CELLS,
 ) -> DataFrame:
     """(pct, threshold, tp, fp, fn, precision, recall, f1) per percentile.
 
@@ -71,6 +114,10 @@ def pr_sweep(
     here thresholds come from one score histogram and all points' counts
     from ONE conditional-sum aggregation (labels use the reference's
     strict ``score > threshold``, runs.py:211-214).
+
+    Exact for bounded score domains; a CONTINUOUS score (e.g.
+    ensemble_score) is quantized to uniform buckets first — see
+    quantized_score_hist — keeping driver state bounded at any row count.
     """
     pcts = pcts or list(range(1, 101))
     # ONE tiny joint (score, label) histogram carries the whole sweep:
@@ -78,12 +125,7 @@ def pr_sweep(
     # aggregation is a plain |score domain| x 2 hash agg however many
     # sweep points are asked for — no N-threshold conditional-sum agg
     # (300 generated aggregate expressions measured ~3s of codegen alone).
-    joint = (
-        df.filter(F.col(score_col).isNotNull())
-        .groupBy(F.col(score_col).cast("double").alias("_s"), y_true.cast("int").alias("_y"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()
-    )
+    joint = quantized_score_hist(df, score_col, y_true, max_cells=max_score_cells)
     s = np.array([r["_s"] for r in joint], dtype=np.float64)
     y = np.array([r["_y"] for r in joint], dtype=np.int64)
     n = np.array([r["_n"] for r in joint], dtype=np.int64)

@@ -27,10 +27,18 @@ _HASH_SPACE = 16 ** 8  # top 8 hex digits of md5 = 32 bits
 
 
 def hash_threshold(fraction: float) -> str:
-    """8-hex-digit threshold with P(md5-prefix < threshold) = fraction."""
+    """8-hex-digit threshold with P(md5-prefix < threshold) = fraction.
+
+    fraction >= 1.0 returns "g": every md5 digest starts with [0-9a-f],
+    all of which sort before "g", so ``digest < "g"`` is always true —
+    coverage is EXACT (clamping to "ffffffff" instead would orphan the
+    ~2^-32 of rows whose digest prefix is exactly ffffffff, breaking
+    hash_split's every-row-lands-in-exactly-one-split guarantee)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
-    return format(min(int(fraction * _HASH_SPACE), _HASH_SPACE - 1), "08x")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * _HASH_SPACE), "08x")
 
 
 def _bucket(key_col: str, salt: str) -> Column:
@@ -82,6 +90,11 @@ def hash_split(
     lo = 0.0
     for frac in fractions:
         hi = lo + frac
+        # float accumulation of fractions summing to 1 can land at
+        # 1 - 1e-16; snap to 1.0 so the final split's upper bound is the
+        # always-true "g" threshold and coverage is exact
+        if hi >= 1.0 - 1e-9:
+            hi = 1.0
         b = _bucket(key_col, salt)
         cond = b < F.lit(hash_threshold(hi))
         if lo > 0:

@@ -68,10 +68,15 @@ def predict(
         scored = scored.withColumn(name, col)
     scored = scored.withColumn("_raw", raw.cast("int"))
 
-    # one tiny histogram: raw score domain is 0..total flag count
-    hist = scored.groupBy("_raw").agg(F.count(F.lit(1)).alias("c")).collect()
-    v = np.array([r["_raw"] for r in hist], dtype=np.float64)
-    c = np.array([r["c"] for r in hist], dtype=np.int64)
+    # one tiny histogram: the raw score domain is 0..total flag count
+    # here (families emit 0/1 flags), but guard with the shared
+    # quantizing histogram anyway so a caller wiring a continuous raw
+    # score through the same path gets bounded driver state, not an OOM
+    from autoprepad_spark.operators.evaluation import quantized_score_hist
+
+    hist = quantized_score_hist(scored, "_raw", None)
+    v = np.array([r["_s"] for r in hist], dtype=np.float64)
+    c = np.array([r["_n"] for r in hist], dtype=np.int64)
     if v.size == 0:
         lo = hi = thr = 0.0
     else:
@@ -94,6 +99,57 @@ def predict(
         ]
         out = out.orderBy(*keys)
     return out
+
+
+def fit_mahalanobis(df: DataFrame, cols: list[str]) -> tuple[list, list]:
+    """Fit a Mahalanobis model: (means, inverse covariance) from ONE
+    wide aggregation of sufficient statistics.
+
+    The distributed model-based scorer slot (reference E6: the pyod
+    PCA/Mahalanobis family, pipelines/defaults.py:35-110): the fit is
+    one codegen hash agg of {n, sum(x_i), sum(x_i*x_j)} — k(k+3)/2
+    aggregates, mergeable partials, no shuffle of rows — and the k x k
+    covariance solve happens driver-side in numpy (k = a handful of
+    profiled columns, never the row count). ddof=1 to match the
+    reference's sample-covariance convention.
+    """
+    import numpy as np
+
+    k = len(cols)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"_s{i}"))
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(
+                F.sum(
+                    F.col(cols[i]).cast("double") * F.col(cols[j]).cast("double")
+                ).alias(f"_p{i}_{j}")
+            )
+    row = df.na.drop("any", subset=cols).agg(*aggs).collect()[0]
+    n = row["_n"]
+    mu = np.array([row[f"_s{i}"] / n for i in range(k)])
+    cov = np.empty((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            cij = (row[f"_p{i}_{j}"] - n * mu[i] * mu[j]) / (n - 1)
+            cov[i, j] = cov[j, i] = cij
+    inv = np.linalg.inv(cov)
+    return mu.tolist(), inv.tolist()
+
+
+def mahalanobis_score(cols: list[str], mu: list, inv: list) -> Column:
+    """sqrt((x-mu)^T S^-1 (x-mu)) as a pure Column expression — the
+    fitted model ships as plan literals, scoring is whole-stage codegen
+    (no UDF, no shuffle, no per-row python)."""
+    k = len(cols)
+    d = [F.col(c).cast("double") - F.lit(float(mu[i])) for i, c in enumerate(cols)]
+    q = None
+    for i in range(k):
+        for j in range(k):
+            term = d[i] * d[j] * F.lit(float(inv[i][j]))
+            q = term if q is None else q + term
+    return F.sqrt(F.greatest(q, F.lit(0.0)))
 
 
 def ensemble_score(cols: dict[str, RobustStats]) -> Column:

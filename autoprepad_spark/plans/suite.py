@@ -52,6 +52,27 @@ ALL_CHECKS = ROW_CHECKS + ["unique_doc_id", "ref_source"]
 ROW_COUNT_MARK = "__row_count__"
 
 
+def read_violations(spark, path: str) -> DataFrame:
+    """Read a violation sink written by ValidationSuite.run(violation_sink=...).
+
+    The sink contains fused per-partition row-count bookkeeping rows
+    (check_name == ROW_COUNT_MARK, doc_id null, detail = the count) that
+    ride the distributed violations write as a tagged union branch so
+    lineage costs no extra pass. This is THE supported way to consume
+    the sink as pure violations; ``read_row_counts`` returns the lineage
+    side."""
+    return spark.read.parquet(path).filter(F.col("check_name") != ROW_COUNT_MARK)
+
+
+def read_row_counts(spark, path: str) -> DataFrame:
+    """(part, row_count) lineage rows from a violation sink."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("check_name") == ROW_COUNT_MARK)
+        .select("part", F.col("detail").cast("long").alias("row_count"))
+    )
+
+
 @dataclass
 class ValidationResult:
     stats: ProfileStats

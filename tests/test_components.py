@@ -304,3 +304,58 @@ def test_image_thumbnails_resize(spark):
         out.sort_values("media_id")["thumb"], again.sort_values("media_id")["thumb"]
     ):
         assert np.allclose(a, b)
+
+
+def test_hash_split_exact_coverage(spark):
+    """Round-3 fix: fractions summing to 1.0 must cover EVERY row (the
+    old 'ffffffff' clamp orphaned digests with prefix ffffffff)."""
+    from autoprepad_spark.operators.sampling import hash_split, hash_threshold
+
+    assert hash_threshold(1.0) == "g"  # sorts after every hex digest
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    splits = hash_split(df, [0.5, 0.3, 0.2], key_col="doc_id")
+    counts = [s.count() for s in splits]
+    assert sum(counts) == 20_000  # disjoint AND covering
+    # pairwise disjoint
+    assert splits[0].join(splits[1], "doc_id").count() == 0
+    assert splits[1].join(splits[2], "doc_id").count() == 0
+    # single full split keeps everything
+    (full,) = hash_split(df, [1.0], key_col="doc_id")
+    assert full.count() == 20_000
+
+
+def test_col_histograms_cardinality_guard(spark):
+    """The hist fit path must refuse unbounded domains instead of
+    collecting a row-count-sized histogram to the driver."""
+    import pytest as _pytest
+
+    from autoprepad_spark.functions.stats import _col_histograms
+
+    df = spark.range(5_000).select(
+        (F.rand(seed=1) * 1e9).alias("cont")  # effectively all-distinct
+    )
+    with _pytest.raises(ValueError, match="approx"):
+        _col_histograms(df, ["cont"], max_cells=1_000)
+    # bounded domains still fine under the same ceiling
+    bounded = spark.range(5_000).select((F.col("id") % 10).alias("v"))
+    v, c = _col_histograms(bounded, ["v"], max_cells=1_000)["v"]
+    assert len(v) == 10 and c.sum() == 5_000
+
+
+def test_spearman_listwise_null_drop(spark):
+    """Nulls in ANY ranked column drop the whole row BEFORE ranking —
+    rho must match pandas' spearman on the dropna'd frame."""
+    import pandas as pd
+
+    from autoprepad_spark.operators.correlation import spearman_matrix
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 50, size=400).astype(float)
+    y = (x * 2 + rng.integers(0, 10, size=400)).astype(float)
+    x[::7] = np.nan  # nulls in x only
+    y[::11] = np.nan  # nulls in y only
+    pdf = pd.DataFrame({"a": x, "b": y})
+    df = spark.createDataFrame(pdf)
+    got = spearman_matrix(df, ["a", "b"]).collect()[0]["rho"]
+    want = pdf.dropna().corr(method="spearman").loc["a", "b"]
+    assert got == pytest.approx(float(want), abs=1e-9)

@@ -482,3 +482,106 @@ def test_sessionize_gap_semantics(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_pr_sweep_continuous_score_bounded(spark):
+    """A continuous score (one distinct double per row) must take the
+    quantized-histogram path: bounded driver state, near-exact sweep."""
+    import numpy as np
+
+    from autoprepad_spark.operators.evaluation import pr_sweep
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.rand(seed=5) * 100.0).alias("score"),
+        (F.col("id") % 97 == 0).cast("int").alias("y"),
+    ).cache()
+    n_pos = df.filter(F.col("y") == 1).count()
+    out = pr_sweep(
+        df, "score", F.col("y"), max_score_cells=1_000
+    ).orderBy("pct").collect()
+    assert len(out) == 100
+    thr = [r["threshold"] for r in out]
+    assert thr == sorted(thr)  # thresholds monotone in pct
+    for r in out:
+        # tp+fn is the positive count, invariant to the threshold; the
+        # quantized path may misplace rows within one bin width at the
+        # boundary, so allow that tolerance on the partition
+        assert r["tp"] + r["fn"] == n_pos
+    # uniform score: threshold at pct p ~= p (bin-width tolerance 0.01*100)
+    assert abs(out[49]["threshold"] - 50.0) < 1.0
+    df.unpersist()
+
+
+def test_pr_sweep_exact_path_unchanged(spark):
+    """Bounded integer scores still take the exact path — results match
+    a hand-computed confusion at a known threshold."""
+    from autoprepad_spark.operators.evaluation import pr_sweep
+
+    rows = [(i, float(i % 4), 1 if i % 4 == 3 else 0) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "score", "y"])
+    out = {r["pct"]: r for r in pr_sweep(df, "score", F.col("y")).collect()}
+    # pct=50 -> threshold 1.5 (quantile of 0,1,2,3 repeated); score>1.5
+    # keeps classes {2,3}: tp=250, fp=250, fn=0
+    r = out[50]
+    assert r["tp"] == 250 and r["fp"] == 250 and r["fn"] == 0
+    assert r["recall"] == 1.0
+
+
+def test_mahalanobis_matches_numpy(spark):
+    """Distributed sufficient-stats fit + expression scoring must match
+    a straight numpy Mahalanobis on the same data."""
+    import numpy as np
+
+    from autoprepad_spark.operators.scoring import (
+        fit_mahalanobis,
+        mahalanobis_score,
+    )
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(500, 3)) @ np.array(
+        [[1.0, 0.4, 0.0], [0.0, 1.0, 0.3], [0.0, 0.0, 1.0]]
+    )
+    df = spark.createDataFrame(
+        [(i, float(r[0]), float(r[1]), float(r[2])) for i, r in enumerate(x)],
+        ["id", "a", "b", "c"],
+    )
+    mu, inv = fit_mahalanobis(df, ["a", "b", "c"])
+    got = (
+        df.select("id", mahalanobis_score(["a", "b", "c"], mu, inv).alias("s"))
+        .orderBy("id")
+        .toPandas()["s"]
+        .to_numpy()
+    )
+    mu_np = x.mean(axis=0)
+    inv_np = np.linalg.inv(np.cov(x, rowvar=False, ddof=1))
+    d = x - mu_np
+    want = np.sqrt(np.einsum("ij,jk,ik->i", d, inv_np, d))
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_regression_impute_fills_with_ols(spark):
+    """One-round regression imputation: nulls get the OLS prediction
+    fitted on complete rows; observed rows pass through untouched."""
+    import numpy as np
+
+    from autoprepad_spark.functions.nulls import regression_impute
+
+    rng = np.random.default_rng(17)
+    xs = rng.uniform(0, 10, size=300)
+    ys = 3.0 * xs + 5.0 + rng.normal(scale=0.5, size=300)
+    rows = [
+        (i, float(xs[i]), None if i % 10 == 0 else float(ys[i]))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    out = regression_impute(df, "y", ["x"]).orderBy("id").toPandas()
+    mask = np.arange(300) % 10 == 0
+    # observed rows untouched
+    assert np.allclose(out["y"][~mask], ys[~mask])
+    # imputed rows equal the numpy OLS prediction on complete rows
+    X = np.column_stack([np.ones((~mask).sum()), xs[~mask]])
+    beta = np.linalg.lstsq(X, ys[~mask], rcond=None)[0]
+    want = beta[0] + beta[1] * xs[mask]
+    assert np.allclose(out["y"][mask], want, atol=1e-6)

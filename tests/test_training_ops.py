@@ -159,3 +159,60 @@ def test_suite_drift_path(spark, tokens_df, dim_df):
     assert d["web"]["status"] == "fail" and d["web"]["psi"] > 0.2
     ok_sources = [s for s, r in d.items() if s != "web" and r["status"] == "pass"]
     assert len(ok_sources) >= 5  # undrifted sources pass
+
+
+def test_exact_duplicates_bounded_exemplars(spark):
+    """dup_count is exact while doc_ids is a bounded deterministic
+    exemplar set (the K smallest ids) — per-group aggregation state must
+    not grow with a pathological group (round-3 scale fix)."""
+    rows = [(i, "same text every time") for i in range(100)]
+    rows += [(1000, "another unique document here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    groups = DD.exact_duplicates(df, "text", "doc_id", max_exemplars=5).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["dup_count"] == 100
+    assert g["doc_ids"] == [0, 1, 2, 3, 4]  # 5 smallest, sorted
+
+
+def test_minhash_bucket_cap_kills_degenerate_bucket(spark):
+    """A boilerplate-heavy corpus (10k identical docs) must NOT produce a
+    quadratic candidate set: the oversized band buckets are dropped while
+    genuinely-near-dup pairs in small buckets survive."""
+    boiler = "this exact boilerplate footer text appears on every single page of the site"
+    rows = [(i, boiler) for i in range(10_000)]
+    rows += [
+        (20_000, "a unique long article about distributed dataflow engines and planning"),
+        (20_001, "a unique long article about distributed dataflow engines and scheduling"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = DD.minhash_signatures(df, text_col="text", id_col="doc_id").cache()
+    pairs = DD.minhash_candidates(
+        sigs, id_col="doc_id", num_hashes=32, max_bucket_size=100
+    ).collect()
+    sigs.unpersist()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # the 10k-clone cluster would contribute ~50M pairs without the cap
+    assert len(got) < 100
+    assert (20_000, 20_001) in got  # small-bucket near-dups survive
+    assert not any(a < 10_000 and b < 10_000 for a, b in got)
+
+
+def test_verify_pairs_strategy_independent(docs):
+    """verify_pairs_jaccard results are identical whether the candidate
+    side is broadcast-hinted or left to AQE (the OOM-resilient default)."""
+    pairs = docs.alias("a").crossJoin(docs.alias("b")).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    ).filter(F.col("id_a") < F.col("id_b"))
+    kw = dict(text_col="text", id_col="doc_id", threshold=0.1)
+    auto = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in DD.verify_pairs_jaccard(docs, pairs, **kw).collect()
+    }
+    hinted = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in DD.verify_pairs_jaccard(
+            docs, pairs, broadcast_pairs=True, **kw
+        ).collect()
+    }
+    assert auto == hinted and len(auto) > 0
