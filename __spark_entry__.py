@@ -958,6 +958,43 @@ def q_stream_running_totals(spark, sf):
     )
 
 
+def q_stream_validate(spark, sf):
+    """Incremental streaming validator (foreachBatch marking with
+    train-fitted stats). One availableNow batch over a persisted token
+    table ⇒ the emitted per-(part, check) verdicts equal the batch
+    validator's (minus the per-batch-undecidable uniqueness check), so
+    DuckDB re-derives them from the same parquet."""
+    import tempfile
+
+    from autoprepad_spark.datagen import generate_tokens, source_dim
+    from autoprepad_spark.operators.profile import global_stats
+    from autoprepad_spark.streaming.validate import stream_validate
+
+    src = f"{SCRATCH}/stream_validate_input"
+    generate_tokens(spark, 20_000, seed=23, n_parts=4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    df = spark.read.parquet(src)
+    stats = global_stats(df)
+    tmp = tempfile.mkdtemp(prefix="apad_sv_")
+    q = stream_validate(
+        spark, src, stats=stats, checkpoint_dir=f"{tmp}/ckpt",
+        verdict_path=f"{tmp}/verd", violation_path=f"{tmp}/viol",
+        dim=source_dim(spark), available_now=True,
+        max_files_per_trigger=100_000,
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{tmp}/verd")
+        .select(
+            "part", "check_name", "status", "metric",
+            F.col("violation_count").cast("long").alias("violation_count"),
+            F.col("row_count").cast("long").alias("row_count"),
+        )
+        .orderBy("part", "check_name")
+    )
+
+
 def q_mahalanobis(spark, sf):
     """Distributed model-based scorer (E6's pyod PCA/Mahalanobis family):
     fit = ONE agg of sufficient statistics + driver-side k x k solve;
@@ -1011,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stream_drift": q_stream_drift,
         "stream_running_totals": q_stream_running_totals,
+        "stream_validate": q_stream_validate,
         "mahalanobis_scores": q_mahalanobis,
         "regression_impute": q_regression_impute,
         "profile_stats": q_profile_stats,
@@ -1756,6 +1794,62 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.vc, 0)::BIGINT AS violation_count,
                    g.row_count::BIGINT AS row_count
             FROM grid g LEFT JOIN allc a USING (part, check_name)
+        """,
+        "stream_validate": f"""
+            WITH tok AS (
+              SELECT * FROM read_parquet('{SCRATCH}/stream_validate_input/*.parquet')
+            ),
+            st AS (SELECT quantile_cont(n_tok, 0.25) AS q1,
+                          quantile_cont(n_tok, 0.5) AS med,
+                          quantile_cont(n_tok, 0.75) AS q3,
+                          avg(n_tok) AS mu, stddev_samp(n_tok) AS sd FROM tok),
+            md AS (SELECT quantile_cont(abs(n_tok - med), 0.5) AS mad FROM tok, st),
+            fl AS (
+              SELECT part,
+                CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END AS c_null_doc_id,
+                CASE WHEN coalesce(len(tokens), -1) <> coalesce(n_tok, -1)
+                     THEN 1 ELSE 0 END AS c_len_mismatch,
+                CASE WHEN len(tokens) > 0
+                      AND (list_min(tokens) < 0 OR list_max(tokens) >= 50257)
+                     THEN 1 ELSE 0 END AS c_token_oob,
+                CASE WHEN len(tokens) = 0 THEN 1 ELSE 0 END AS c_empty_tokens,
+                CASE WHEN n_tok < st.q1 - 1.5*(st.q3 - st.q1)
+                      OR n_tok > st.q3 + 1.5*(st.q3 - st.q1)
+                     THEN 1 ELSE 0 END AS c_ntok_tukey,
+                CASE WHEN md.mad > 0 AND abs(0.6745*(n_tok - st.med)/md.mad) > 3.5
+                     THEN 1 ELSE 0 END AS c_ntok_mad,
+                CASE WHEN st.sd > 0 AND abs((n_tok - st.mu)/st.sd) > 3
+                     THEN 1 ELSE 0 END AS c_ntok_z,
+                CASE WHEN source IS NOT NULL AND source NOT IN
+                     ('web','books','code','wiki','news','papers','forums','legal')
+                     THEN 1 ELSE 0 END AS c_ref_source
+              FROM tok, st, md),
+            counts AS (
+              SELECT part, 'null_doc_id' AS check_name, sum(c_null_doc_id) AS vc FROM fl GROUP BY 1
+              UNION ALL SELECT part, 'len_mismatch', sum(c_len_mismatch) FROM fl GROUP BY 1
+              UNION ALL SELECT part, 'token_oob', sum(c_token_oob) FROM fl GROUP BY 1
+              UNION ALL SELECT part, 'empty_tokens', sum(c_empty_tokens) FROM fl GROUP BY 1
+              UNION ALL SELECT part, 'ntok_tukey', sum(c_ntok_tukey) FROM fl GROUP BY 1
+              UNION ALL SELECT part, 'ntok_mad', sum(c_ntok_mad) FROM fl GROUP BY 1
+              UNION ALL SELECT part, 'ntok_z', sum(c_ntok_z) FROM fl GROUP BY 1
+              UNION ALL SELECT part, 'ref_source', sum(c_ref_source) FROM fl GROUP BY 1
+            ),
+            rc AS (SELECT part, count(*) AS row_count FROM tok GROUP BY 1),
+            grid AS (SELECT rc.part, ck.check_name, rc.row_count
+                     FROM rc CROSS JOIN (
+                       SELECT unnest(['null_doc_id','len_mismatch','token_oob',
+                                      'empty_tokens','ntok_tukey','ntok_mad',
+                                      'ntok_z','ref_source']) AS check_name) ck)
+            SELECT g.part, g.check_name,
+                   CASE WHEN g.check_name IN ('ntok_tukey','ntok_mad','ntok_z')
+                        THEN CASE WHEN coalesce(a.vc, 0) / greatest(g.row_count, 1) > 0.1
+                                  THEN 'fail' ELSE 'pass' END
+                        ELSE CASE WHEN coalesce(a.vc, 0) > 0
+                                  THEN 'fail' ELSE 'pass' END END AS status,
+                   (coalesce(a.vc, 0) / greatest(g.row_count, 1))::DOUBLE AS metric,
+                   coalesce(a.vc, 0)::BIGINT AS violation_count,
+                   g.row_count::BIGINT AS row_count
+            FROM grid g LEFT JOIN counts a USING (part, check_name)
         """,
         "mahalanobis_scores": """
             WITH s AS (

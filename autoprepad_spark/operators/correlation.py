@@ -33,17 +33,30 @@ from pyspark.sql import DataFrame, functions as F, types as T
 SPEARMAN_WARN = 0.98  # SpearmanCheck.py:31
 
 
-def _rank_table(df: DataFrame, col: str) -> DataFrame:
+#: same bounded-domain contract as functions.stats._col_histograms —
+#: the per-column distinct set must fit on the driver.
+MAX_RANK_CELLS = 2_000_000
+
+
+def _rank_table(df: DataFrame, col: str, *, max_cells: int = MAX_RANK_CELLS) -> DataFrame:
     """(value, avg_rank) over the distinct values of ``col``.
 
     Distributed histogram -> driver-side cumulative ranks; the result is
-    |distinct| rows, broadcast-joinable by construction."""
+    |distinct| rows, broadcast-joinable by construction. The contract is
+    enforced with a LIMIT n+1 probe — an unbounded (continuous) column
+    raises instead of silently collecting a row-count-sized histogram."""
     pdf = (
         df.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
+        .limit(max_cells + 1)
         .toPandas()
     )
+    if len(pdf) > max_cells:
+        raise ValueError(
+            f"spearman rank table for {col!r} exceeds {max_cells} distinct "
+            "values — not a bounded domain; bucket/round the column first"
+        )
     vals = pdf[col].to_numpy(dtype=np.float64)
     cnts = pdf["_cnt"].to_numpy(dtype=np.int64)
     order = np.argsort(vals, kind="stable")
