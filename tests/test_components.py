@@ -359,3 +359,21 @@ def test_spearman_listwise_null_drop(spark):
     got = spearman_matrix(df, ["a", "b"]).collect()[0]["rho"]
     want = pdf.dropna().corr(method="spearman").loc["a", "b"]
     assert got == pytest.approx(float(want), abs=1e-9)
+
+
+def test_minmax_scale_expression(spark):
+    """A8: MinMax rescale is a pure Column expression; endpoints map to
+    0/1 and interior points interpolate linearly (the AnomalyScore
+    rescale in scoring.predict is this same expression)."""
+    from autoprepad_spark.functions.stats import minmax_scale
+
+    df = spark.createDataFrame(
+        [(0.0,), (5.0,), (10.0,)], ["x"]
+    ).select(minmax_scale(F.col("x"), 0.0, 10.0).alias("s"))
+    got = sorted(r["s"] for r in df.collect())
+    assert got == [0.0, 0.5, 1.0]
+    # degenerate span must not divide by zero
+    one = spark.createDataFrame([(3.0,)], ["x"]).select(
+        minmax_scale(F.col("x"), 3.0, 3.0).alias("s")
+    )
+    assert one.collect()[0]["s"] is not None
