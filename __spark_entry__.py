@@ -825,7 +825,13 @@ def q_validate_tokens(spark, sf):
     # verdicts aggregate from the violation set run() materialized, so
     # the input cache is already out of the returned plan's lineage
     df.unpersist()
-    return res.verdicts.orderBy("part", "check_name")
+    out = res.verdicts.orderBy("part", "check_name").cache()
+    out.count()
+    # release the run's internal violation cache too — leaked caches
+    # compound into GC pressure for whatever query runs next in a
+    # long-lived session (the bench runs 19 queries in one JVM)
+    res.unpersist()
+    return out
 
 
 def q_hash_split(spark, sf):

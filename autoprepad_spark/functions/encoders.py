@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -33,18 +34,24 @@ def fit_vocabulary(df: DataFrame, col: str, *, max_vocab: int = 1_000_000) -> Da
     vocabulary must be broadcast-joinable to be applied at all, so the
     driver-side sort adds no new scale ceiling; ``max_vocab`` makes the
     assumption explicit (raise instead of silently OOMing the driver)."""
-    counts = (
+    hist = (
         df.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .limit(max_vocab + 1)
-        .collect()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if len(counts) > max_vocab:
-        raise ValueError(
-            f"vocabulary for {col!r} exceeds max_vocab={max_vocab}; "
-            "a high-cardinality column should use hashing, not an encoder"
-        )
+    try:
+        # executor-side count guard, then collect from cache: exactly one
+        # upstream execution (a LIMIT n+1 probe re-ran the scan in
+        # CollectLimit's incremental waves under AQE)
+        if hist.count() > max_vocab:
+            raise ValueError(
+                f"vocabulary for {col!r} exceeds max_vocab={max_vocab}; "
+                "a high-cardinality column should use hashing, not an encoder"
+            )
+        counts = hist.collect()
+    finally:
+        hist.unpersist()
     ordered = sorted(counts, key=lambda r: (-r["_cnt"], r[col]))
     from pyspark.sql import types as T
 

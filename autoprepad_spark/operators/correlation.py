@@ -28,6 +28,7 @@ from __future__ import annotations
 from itertools import combinations
 
 import numpy as np
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import DataFrame, functions as F, types as T
 
 SPEARMAN_WARN = 0.98  # SpearmanCheck.py:31
@@ -43,20 +44,27 @@ def _rank_table(df: DataFrame, col: str, *, max_cells: int = MAX_RANK_CELLS) -> 
 
     Distributed histogram -> driver-side cumulative ranks; the result is
     |distinct| rows, broadcast-joinable by construction. The contract is
-    enforced with a LIMIT n+1 probe — an unbounded (continuous) column
+    enforced by persisting the aggregated histogram executor-side,
+    counting it there, and collecting only under the cap — one upstream
+    execution (a LIMIT probe's incremental CollectLimit waves re-ran the
+    scan up to 4x under AQE), and an unbounded (continuous) column
     raises instead of silently collecting a row-count-sized histogram."""
-    pdf = (
+    hist = (
         df.filter(F.col(col).isNotNull())
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .limit(max_cells + 1)
-        .toPandas()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if len(pdf) > max_cells:
-        raise ValueError(
-            f"spearman rank table for {col!r} exceeds {max_cells} distinct "
-            "values — not a bounded domain; bucket/round the column first"
-        )
+    try:
+        if hist.count() > max_cells:
+            raise ValueError(
+                f"spearman rank table for {col!r} exceeds {max_cells} "
+                "distinct values — not a bounded domain; bucket/round the "
+                "column first"
+            )
+        pdf = hist.toPandas()
+    finally:
+        hist.unpersist()
     vals = pdf[col].to_numpy(dtype=np.float64)
     cnts = pdf["_cnt"].to_numpy(dtype=np.int64)
     order = np.argsort(vals, kind="stable")

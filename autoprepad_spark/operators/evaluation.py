@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from autoprepad_spark.operators.profile import weighted_quantiles
 
@@ -76,28 +77,41 @@ def quantized_score_hist(
     state: exact for bounded score domains (the integer flag-count case),
     quantized to ``bins`` uniform buckets when the domain is continuous.
 
-    The LIMIT n+1 probe detects unbounded domains without an extra
-    count-distinct pass; the quantized fallback represents each bucket
-    by its midpoint, so downstream percentile thresholds carry a
-    documented tolerance of (max-min)/bins — while the groupBy stays a
-    plain codegen hash agg with ``bins`` cells instead of one cell per
-    distinct double (≈ per row)."""
+    The upstream plan executes exactly ONCE: the exact joint histogram
+    is persisted on the executors (memory-and-disk — a per-row-sized
+    one spills instead of OOMing), counted there as the domain probe,
+    and either collected directly (bounded case) or re-aggregated into
+    ``bins`` buckets FROM THE CACHE (continuous case — min/max and the
+    bucket rollup are tiny aggs over cached cells, never a second pass
+    over the input). The quantized fallback represents each bucket by
+    its midpoint, so downstream percentile thresholds carry a
+    documented tolerance of (max-min)/bins. A LIMIT n+1 probe was
+    measured strictly worse: CollectLimit's incremental scale-up waves
+    re-executed the expensive upstream under AQE (~4x per call)."""
     s = F.col(score_col).cast("double")
     keys = [s.alias("_s")] + ([y_true.cast("int").alias("_y")] if y_true is not None else [])
     base = df.filter(s.isNotNull())
-    rows = (
-        base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
-        .limit(max_cells + 1)
-        .collect()
+    hist = (
+        base.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if len(rows) <= max_cells:
-        return rows
-    lo, hi = base.agg(F.min(s), F.max(s)).collect()[0]
-    width = (hi - lo) / bins if hi > lo else 1.0
-    bucket = F.least(F.floor((s - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
-    mid = (F.lit(lo) + (bucket + 0.5) * F.lit(width)).alias("_s")
-    keys = [mid] + ([y_true.cast("int").alias("_y")] if y_true is not None else [])
-    return base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n")).collect()
+    try:
+        n_cells = hist.count()
+        if n_cells <= max_cells:
+            return hist.collect()
+        lo, hi = hist.agg(F.min("_s"), F.max("_s")).collect()[0]
+        width = (hi - lo) / bins if hi > lo else 1.0
+        bucket = F.least(
+            F.floor((F.col("_s") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
+        )
+        mid = (F.lit(lo) + (bucket + 0.5) * F.lit(width)).alias("_s")
+        keys = [mid] + ([F.col("_y")] if y_true is not None else [])
+        return (
+            hist.groupBy(*keys).agg(F.sum("_n").alias("_n")).collect()
+        )
+    finally:
+        hist.unpersist()
 
 
 def pr_sweep(

@@ -66,6 +66,19 @@ def _rows_per_sf(sf_dir: str) -> int:
     return 1_000_000
 
 
+def _host_calibration() -> float:
+    """Fixed single-thread CPU microbenchmark (seconds, lower = faster
+    host). Recorded alongside the query timings because this shared VM's
+    effective CPU speed varies by >2x between sessions (neighbors /
+    throttling) — absolute per-round comparisons need the host-speed
+    context. Pure-python int hashing: no BLAS/thread dependence."""
+    t0 = time.perf_counter()
+    h = 0
+    for i in range(3_000_000):
+        h = (h * 1315423911 + i) & 0xFFFFFFFFFFFF
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_headline() -> None:
     import __spark_entry__ as E
     from autoprepad_spark.session import get_spark
@@ -87,6 +100,11 @@ def run_headline() -> None:
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        # drop anything a query left cached: every query is measured
+        # standalone (its own cache fills are inside its timing), and
+        # leaked cache blocks otherwise pile into old-gen GC pressure
+        # that taxes whichever query happens to run later in the session
+        spark.catalog.clearCache()
 
     sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
     print(json.dumps({
@@ -96,6 +114,11 @@ def run_headline() -> None:
         "queries": timings,
         "sf": sf,
         "cores": cores,
+        # host-speed context for cross-round comparison (see
+        # _host_calibration): seconds for a fixed single-thread loop —
+        # divide query times by (calib_sec / historical calib) before
+        # calling a cross-session delta a regression
+        "calib_sec": _host_calibration(),
     }))
 
 
