@@ -7,10 +7,11 @@ signatures, batch shapes, and tests. Codecs:
 * image — REAL: uncompressed 24-bit BMP encode/decode implemented here
   with struct + numpy (no external imaging library needed),
 * audio  — REAL: PCM WAV via the stdlib ``wave`` module,
-* video  — STUBBED (a real container/codec demuxer genuinely needs
-  ffmpeg, absent in this environment): raises NotImplementedError
-  unless the deterministic fake is requested; swapping in a decoder
-  touches ONLY ``_decode_payload``.
+* video  — REAL for uncompressed AVI: a RIFF/AVI container demuxer
+  implemented here (hdrl/strl/strf headers, `movi` '00db' DIB frame
+  chunks, idx1 index) — struct-only, no ffmpeg. Compressed codecs
+  (H.264 etc.) genuinely need ffmpeg and raise NotImplementedError;
+  swapping in a fuller decoder touches ONLY ``_decode_payload``.
 
 Scale notes: media rows are large — the operators repartition by a hash
 of the id before the Python stage so Arrow batches are balanced, and
@@ -113,13 +114,112 @@ def decode_wav(b: bytes) -> np.ndarray:
     return np.frombuffer(frames, dtype="<i2")
 
 
+def _frame_bytes(pixels: np.ndarray) -> bytes:
+    """One (H, W, 3) RGB frame -> DIB chunk body (bottom-up BGR, 4-pad)."""
+    h, w, _ = pixels.shape
+    pad = b"\x00" * ((4 - (w * 3) % 4) % 4)
+    bgr = pixels[:, :, ::-1]
+    return b"".join(bgr[r].tobytes() + pad for r in range(h - 1, -1, -1))
+
+
+def encode_avi(frames: np.ndarray, *, fps: int = 10) -> bytes:
+    """(N, H, W, 3) uint8 RGB frames -> uncompressed ('DIB ') AVI bytes.
+
+    Standard RIFF layout: hdrl(avih + strl(strh+strf)) + movi('00db'
+    frame chunks) + idx1. Frame rows are bottom-up BGR padded to 4, the
+    same raster layout as BMP, so stride*h is 4-aligned and no RIFF
+    even-padding bytes are ever needed."""
+    nf, h, w, _ = frames.shape
+    stride = w * 3 + (4 - (w * 3) % 4) % 4
+    fsz = stride * h
+    avih = b"avih" + struct.pack(
+        "<IIIIIIIIIIIIIII",
+        56, 1_000_000 // fps, fsz * fps, 0, 0x10, nf, 0, 1, fsz, w, h, 0, 0, 0, 0,
+    )
+    strh = b"strh" + struct.pack(
+        "<I4s4sIHHIIIIIIiI4h",
+        56, b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, nf, fsz, -1, 0, 0, 0, w, h,
+    )
+    strf = b"strf" + struct.pack(
+        "<IIiiHHIIiiII", 40, 40, w, h, 1, 24, 0, fsz, 2835, 2835, 0, 0
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    movi_body = b"".join(
+        b"00db" + struct.pack("<I", fsz) + _frame_bytes(frames[i]) for i in range(nf)
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    idx = b"".join(
+        b"00db" + struct.pack("<III", 0x10, 4 + i * (8 + fsz), fsz) for i in range(nf)
+    )
+    idx1 = b"idx1" + struct.pack("<I", len(idx)) + idx
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_layout(b: bytes) -> tuple[int, int, int, list[tuple[int, int]]]:
+    """Parse AVI container structure without touching frame payloads.
+
+    Returns (width, height, bpp, [(frame_offset, frame_size), ...]) —
+    a generic RIFF chunk walk, not a fixed-offset read, so any
+    spec-conforming uncompressed AVI demuxes, not just ours."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    w = h = bpp = None
+    frames: list[tuple[int, int]] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal w, h, bpp
+        pos = lo
+        while pos + 8 <= hi:
+            fourcc = b[pos : pos + 4]
+            size = struct.unpack_from("<I", b, pos + 4)[0]
+            data = pos + 8
+            if fourcc == b"LIST":
+                walk(data + 4, data + size)  # skip the list-type fourcc
+            elif fourcc == b"strf":
+                _, bw, bh, _, bits, comp = struct.unpack_from("<IiiHHI", b, data)
+                if comp != 0 or bits != 24:
+                    raise NotImplementedError(
+                        f"compressed AVI stream (biCompression={comp}, bpp={bits}) "
+                        "needs ffmpeg, absent in this environment"
+                    )
+                w, h, bpp = bw, abs(bh), bits
+            elif fourcc in (b"00db", b"00dc") and size > 0:
+                frames.append((data, size))
+            pos = data + size + (size & 1)
+
+    walk(12, len(b))
+    if w is None or not frames:
+        raise ValueError("AVI has no uncompressed video stream/frames")
+    return w, h, bpp, frames
+
+
+def _dib_to_rgb(b: bytes, off: int, w: int, h: int) -> np.ndarray:
+    stride = w * 3 + (4 - (w * 3) % 4) % 4
+    raw = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1]  # bottom-up BGR -> top-down RGB
+
+
+def decode_avi(b: bytes, frame_indices: list[int] | None = None) -> np.ndarray:
+    """Uncompressed AVI bytes -> (N, H, W, 3) uint8 RGB frames.
+
+    ``frame_indices`` decodes only the selected frames (the container
+    walk is header-only, so frame sampling never touches the skipped
+    frame bytes — the point of a demuxer)."""
+    w, h, _, frames = _avi_layout(b)
+    idx = range(len(frames)) if frame_indices is None else frame_indices
+    return np.stack([_dib_to_rgb(b, frames[i][0], w, h) for i in idx])
+
+
 def _decode_payload(payload: bytes, kind: str, *, fake: bool) -> np.ndarray:
     """Decode media bytes to a dense float array in [0, 256).
 
-    image/audio decode for REAL (BMP / PCM WAV, implemented above);
-    video is the one stubbed kind — a demuxer genuinely requires ffmpeg,
-    absent here. fake=True derives a deterministic pseudo-decode from
-    the raw bytes instead (tests / video plumbing)."""
+    All three kinds decode for REAL (BMP / PCM WAV / uncompressed AVI,
+    implemented above); compressed video codecs raise
+    NotImplementedError from the demuxer. fake=True derives a
+    deterministic pseudo-decode from the raw bytes instead (tests)."""
     if fake:
         return np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
     if kind == "image":
@@ -127,10 +227,9 @@ def _decode_payload(payload: bytes, kind: str, *, fake: bool) -> np.ndarray:
     if kind == "audio":
         s = decode_wav(payload).astype(np.float32)
         return s / 256.0 + 128.0  # int16 -> [0, 256) scale
-    raise NotImplementedError(
-        "video demuxing (ffmpeg) not available in this environment; "
-        "use fake=True or plug a decoder in here"
-    )
+    if kind == "video":
+        return decode_avi(payload).reshape(-1).astype(np.float32)
+    raise NotImplementedError(f"unknown media kind {kind!r}")
 
 
 def extract_features(df: DataFrame, *, fake_decode: bool = True, partitions: int | None = None) -> DataFrame:
@@ -257,9 +356,8 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media table: REAL encoded payloads for image (24-bit
-    BMP) and audio (PCM WAV); video rows carry opaque bytes (decode is
-    the stubbed kind)."""
+    """Deterministic media table: REAL encoded payloads for all three
+    kinds — 24-bit BMP images, PCM WAV audio, uncompressed AVI video."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -279,10 +377,61 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             duration = int(n_samples * 1000 / 8000)
             mime = "audio/wav"
         else:
-            size = int(rng.integers(64, 2048))
-            payload = bytes(rng.integers(0, 256, size=size, dtype=np.uint8))
-            duration = int(rng.integers(500, 20000))
-            mime = "video/mp4"
+            nf = int(rng.integers(2, 8))
+            height = width = int(rng.integers(4, 16))
+            frames = rng.integers(0, 256, size=(nf, height, width, 3), dtype=np.uint8)
+            fps = 10
+            payload = encode_avi(frames, fps=fps)
+            duration = int(nf * 1000 / fps)
+            mime = "video/avi"
+        rows.append(
+            (f"m-{i:06d}", kind, bytearray(payload), mime, width, height, duration)
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def synth_media_arith(spark, n: int = 64) -> DataFrame:
+    """Arithmetic-deterministic media table: every pixel/sample value is a
+    closed-form function of (row index, element index), so an independent
+    SQL engine can re-derive the decoded element distribution — and hence
+    the extracted feature histograms — from first principles. This is what
+    lets the driver's DuckDB oracle verify the REAL decode path
+    end-to-end (see __spark_entry__.q_multimodal_features).
+
+    image i:  h = 4 + (i*7)%20, w = 4 + (i*11)%20,
+              pixel(y,x,c) = (i*31 + y*13 + x*7 + c*5) % 256
+    audio i:  n_samples = 200 + (i*37)%3800,
+              sample(j) = ((i*97 + j*31) % 65536) - 32768
+    video i:  nf = 2 + i%4, h = w = 4 + (i*5)%12,
+              pixel(f,y,x,c) = (i*17 + f*29 + y*13 + x*7 + c*5) % 256
+    """
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        width = height = duration = None
+        if kind == "image":
+            height = 4 + (i * 7) % 20
+            width = 4 + (i * 11) % 20
+            y, x, c = np.ogrid[0:height, 0:width, 0:3]
+            pixels = ((i * 31 + y * 13 + x * 7 + c * 5) % 256).astype(np.uint8)
+            payload = encode_bmp(pixels)
+            mime = "image/bmp"
+        elif kind == "audio":
+            n_samples = 200 + (i * 37) % 3800
+            j = np.arange(n_samples)
+            samples = (((i * 97 + j * 31) % 65536) - 32768).astype(np.int16)
+            payload = encode_wav(samples)
+            duration = int(n_samples * 1000 / 8000)
+            mime = "audio/wav"
+        else:
+            nf = 2 + i % 4
+            height = width = 4 + (i * 5) % 12
+            f, y, x, c = np.ogrid[0:nf, 0:height, 0:width, 0:3]
+            frames = ((i * 17 + f * 29 + y * 13 + x * 7 + c * 5) % 256).astype(np.uint8)
+            payload = encode_avi(frames, fps=10)
+            duration = nf * 100
+            mime = "video/avi"
         rows.append(
             (f"m-{i:06d}", kind, bytearray(payload), mime, width, height, duration)
         )

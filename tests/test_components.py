@@ -259,11 +259,8 @@ def test_multimodal_real_decode(spark):
 
     media = synth_media(spark, n=9, seed=5)
     out = extract_features(media, fake_decode=False).toPandas()
-    # image (BMP) and audio (WAV) decode for REAL; only video is stubbed
-    # (surfaced per-row as ok=False + error, not a job failure)
-    assert out[out["kind"] != "video"]["ok"].all()
-    assert (~out[out["kind"] == "video"]["ok"]).all()
-    assert out[out["kind"] == "video"]["error"].str.contains("ffmpeg").all()
+    # all three kinds decode for REAL (BMP / PCM WAV / uncompressed AVI)
+    assert out["ok"].all(), out[["kind", "error"]].to_dict("records")
 
 
 def test_bmp_wav_codec_roundtrip():
@@ -278,6 +275,52 @@ def test_bmp_wav_codec_roundtrip():
     assert np.array_equal(decode_bmp(encode_bmp(px)), px)
     s = rng.integers(-32768, 32767, size=777).astype(np.int16)
     assert np.array_equal(decode_wav(encode_wav(s)), s)
+
+
+def test_avi_codec_roundtrip_and_demux():
+    import numpy as np
+
+    from autoprepad_spark.operators.multimodal import decode_avi, encode_avi
+
+    rng = np.random.default_rng(11)
+    # odd width exercises the DIB 4-byte row padding path
+    fr = rng.integers(0, 256, size=(5, 6, 7, 3), dtype=np.uint8)
+    b = encode_avi(fr, fps=25)
+    assert np.array_equal(decode_avi(b), fr)
+    # selective frame decode (demuxer seeks, does not decode all frames)
+    sel = decode_avi(b, [4, 0, 2])
+    assert np.array_equal(sel[0], fr[4]) and np.array_equal(sel[2], fr[2])
+    # compressed stream -> NotImplementedError (honest codec boundary)
+    import struct as st
+
+    comp = bytearray(b)
+    strf_at = b.find(b"strf")
+    st.pack_into("<I", comp, strf_at + 8 + 16, 1)  # biCompression=BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_avi(bytes(comp))
+
+
+def test_synth_media_arith_matches_formulas(spark):
+    import numpy as np
+
+    from autoprepad_spark.operators.multimodal import (
+        decode_avi, decode_bmp, decode_wav, synth_media_arith,
+    )
+
+    rows = {r["media_id"]: r for r in synth_media_arith(spark, n=6).collect()}
+    px = decode_bmp(bytes(rows["m-000000"]["payload"]))  # i=0: image
+    h, w = px.shape[:2]
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    assert np.array_equal(px, ((0 * 31 + y * 13 + x * 7 + c * 5) % 256).astype(np.uint8))
+    s = decode_wav(bytes(rows["m-000001"]["payload"]))  # i=1: audio
+    j = np.arange(len(s))
+    assert np.array_equal(s, (((1 * 97 + j * 31) % 65536) - 32768).astype(np.int16))
+    fr = decode_avi(bytes(rows["m-000002"]["payload"]))  # i=2: video
+    nf, h, w = fr.shape[:3]
+    f, y, x, c = np.ogrid[0:nf, 0:h, 0:w, 0:3]
+    assert np.array_equal(
+        fr, ((2 * 17 + f * 29 + y * 13 + x * 7 + c * 5) % 256).astype(np.uint8)
+    )
 
 
 def test_image_thumbnails_resize(spark):
