@@ -206,12 +206,22 @@ def q_percentile_sweep(spark, sf):
     )
 
 
-def q_approx_distinct(spark, sf):  # rows-only: HLL sketches differ by impl
+#: columns sketched by q_approx_distinct (shared with its oracle)
+_HLL_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def q_approx_distinct(spark, sf):
+    """Distinct-count sketch — oracle-exact since r03: the portable HLL
+    in functions/sketches.py is defined purely over md5 + integer
+    register arithmetic, so DuckDB recomputes the IDENTICAL sketch
+    (registers, harmonic sum, estimate) from the same rows."""
+    from autoprepad_spark.functions.sketches import hll_distinct
+
     li = _t(spark, sf, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("orders_hll"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("parts_hll"),
-        F.approx_count_distinct("l_suppkey", 0.01).alias("supps_hll"),
+    out = hll_distinct(li, _HLL_COLS)
+    return out.select(
+        "col", "registers_set", "empty_registers", "harmonic_s",
+        F.round("estimate", 2).alias("estimate"),
     )
 
 
@@ -517,17 +527,21 @@ def q_embedding_lsh_topk(spark, sf):  # rows-only: plane family engine-specific
     return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
-def q_multimodal_features(spark, sf):  # rows-only: payloads are generated
-    from autoprepad_spark.operators.multimodal import extract_features, synth_media
+def q_multimodal_features(spark, sf):
+    """REAL decode, oracle-exact since r03: payloads are 24-bit BMP /
+    PCM WAV / uncompressed AVI built by synth_media_arith, where every
+    decoded element is a closed-form function of the row index — so the
+    DuckDB oracle re-derives each row's decoded element count and sum
+    analytically while Spark gets them by actually parsing the bytes
+    (multimodal.decode_stats -> _decode_payload)."""
+    from autoprepad_spark.operators.multimodal import decode_stats, synth_media_arith
 
-    # REAL decode: BMP images + PCM WAV audio are parsed from bytes;
-    # video rows surface ok=0 (the one genuinely stubbed codec)
-    media = synth_media(spark, n=64, seed=42)
-    out = extract_features(media, fake_decode=False)
+    media = synth_media_arith(spark, n=64)
+    out = decode_stats(media)
     return out.select(
-        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"),
+        "media_id", "kind", "n_elems",
+        F.round("elem_sum", 4).alias("elem_sum"),
         F.col("ok").cast("long").alias("ok"),
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feature_sum"),
     )
 
 
@@ -1152,8 +1166,67 @@ _EVAL_CTES = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from autoprepad_spark.functions.sketches import hll_oracle_sql
+
     stop = {k: "|".join(v) for k, v in TX.LANG_STOPWORDS.items()}
+    hll_melt = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS v FROM lineitem"
+        for c in _HLL_COLS
+    )
+    # multimodal: re-derive decoded element count/sum from the
+    # synth_media_arith closed forms (docstring there is the spec);
+    # fixed ranges + filters instead of lateral generate_series
+    multimodal = """
+        WITH idx AS (SELECT CAST(range AS BIGINT) AS i FROM range(0, 64)),
+        img AS (
+          SELECT i, 4 + (i*7)%20 AS h, 4 + (i*11)%20 AS w FROM idx WHERE i%3 = 0
+        ),
+        img_stats AS (
+          SELECT i, CAST(h*w*3 AS BIGINT) AS n_elems,
+                 CAST(sum((i*31 + y.r*13 + x.r*7 + c.r*5) % 256) AS DOUBLE) AS elem_sum
+          FROM img,
+               (SELECT CAST(range AS BIGINT) AS r FROM range(0, 24)) y,
+               (SELECT CAST(range AS BIGINT) AS r FROM range(0, 24)) x,
+               (SELECT CAST(range AS BIGINT) AS r FROM range(0, 3)) c
+          WHERE y.r < h AND x.r < w
+          GROUP BY i, h, w
+        ),
+        aud AS (
+          SELECT i, 200 + (i*37)%3800 AS n FROM idx WHERE i%3 = 1
+        ),
+        aud_stats AS (
+          SELECT i, CAST(n AS BIGINT) AS n_elems,
+                 sum((((i*97 + j.r*31) % 65536) - 32768)/256.0 + 128.0) AS elem_sum
+          FROM aud, (SELECT CAST(range AS BIGINT) AS r FROM range(0, 4000)) j
+          WHERE j.r < n
+          GROUP BY i, n
+        ),
+        vid AS (
+          SELECT i, 2 + i%4 AS nf, 4 + (i*5)%12 AS hw FROM idx WHERE i%3 = 2
+        ),
+        vid_stats AS (
+          SELECT i, CAST(nf*hw*hw*3 AS BIGINT) AS n_elems,
+                 CAST(sum((i*17 + f.r*29 + y.r*13 + x.r*7 + c.r*5) % 256) AS DOUBLE) AS elem_sum
+          FROM vid,
+               (SELECT CAST(range AS BIGINT) AS r FROM range(0, 6)) f,
+               (SELECT CAST(range AS BIGINT) AS r FROM range(0, 16)) y,
+               (SELECT CAST(range AS BIGINT) AS r FROM range(0, 16)) x,
+               (SELECT CAST(range AS BIGINT) AS r FROM range(0, 3)) c
+          WHERE f.r < nf AND y.r < hw AND x.r < hw
+          GROUP BY i, nf, hw
+        ),
+        unioned AS (
+          SELECT i, 'image' AS kind, n_elems, elem_sum FROM img_stats
+          UNION ALL SELECT i, 'audio', n_elems, elem_sum FROM aud_stats
+          UNION ALL SELECT i, 'video', n_elems, elem_sum FROM vid_stats
+        )
+        SELECT printf('m-%06d', i) AS media_id, kind, n_elems,
+               round(elem_sum, 4) AS elem_sum, CAST(1 AS BIGINT) AS ok
+        FROM unioned ORDER BY media_id
+    """
     return {
+        "approx_distinct": hll_oracle_sql(hll_melt),
+        "multimodal_features": multimodal,
         "profile_stats": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n_rows,

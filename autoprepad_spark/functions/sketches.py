@@ -1,0 +1,176 @@
+"""Portable HyperLogLog distinct-count sketch.
+
+Spark ships ``approx_count_distinct`` (HLL++), but its sketch internals
+are engine-specific, so an independent engine can never reproduce the
+estimate — the r02 ``approx_distinct`` driver query was rows-only for
+exactly that reason. This module implements HLL from first principles
+(Flajolet et al. 2007) over md5, using ONLY operations that exist with
+identical semantics in both Spark SQL and DuckDB SQL:
+
+* hash        = md5(cast(value as string)) — lowercase hex both engines
+* register    = first 3 hex chars (12 bits -> m = 4096 registers)
+* rank (rho)  = leading-zero count of the next 12 hex chars (48 bits),
+                derived from string ops (strip leading '0's + a 4-case
+                lookup on the first surviving hex digit) — no float log
+* harmonic sum is kept EXACT as the integer S = sum(2^(49 - M_j));
+  every term is <= 2^48 and there are 4096 registers, so S <= 2^61
+  fits a signed 64-bit long with no rounding anywhere
+
+The estimate alpha*m^2 / sum(2^-M) == K / S with K = alpha*m^2*2^49
+precomputed as a single Python float literal embedded verbatim in both
+engines' expressions, so the float division is bit-identical. The
+small-range linear-counting branch (E <= 2.5m and empty registers V>0)
+uses m*ln(m/V); libm log differs by <=1 ulp across engines, which the
+caller's round(…, 2) absorbs (relative error 1e-16 vs the 1e-6 needed
+to flip a 2-decimal rounding at thousand-scale estimates).
+
+Scale: the aggregation is one groupBy((col, register)) max(rho) —
+map-side partial max reduces each task's output to at most |cols|*4096
+rows before the shuffle, so at 100 TB the shuffle moves kilobytes per
+task regardless of input size. This mirrors how engines implement
+approx_count_distinct internally; we pay one md5 per row per column.
+
+Reference parity: AutoPrepAD has no sketch (pandas nunique is exact and
+single-node); this is the distributed replacement for profiling
+cardinality at scales where exact distinct is itself a large shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: 12-bit register index -> m = 4096
+HLL_M = 4096
+#: bits available for the rank after the register index (12 hex chars)
+_RANK_BITS = 48
+#: max rho: 48 zero bits + 1
+_RHO_MAX = _RANK_BITS + 1
+
+_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: K = alpha * m^2 * 2^49 — ONE float literal shared by both engines
+_K = _ALPHA * HLL_M * HLL_M * float(2 ** _RHO_MAX)
+_LINEAR_CUTOFF = 2.5 * HLL_M
+
+
+def _rho_spark(tail):
+    """rho (first-1-bit position + 1) of a 12-hex-char string column."""
+    stripped = F.regexp_replace(tail, "^0+", "")
+    slen = F.length(stripped)
+    z_hex = F.lit(12) - slen  # leading zero hex digits
+    d = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+    bits = (
+        F.when(d >= 8, F.lit(4))
+        .when(d >= 4, F.lit(3))
+        .when(d >= 2, F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    return (
+        F.when(slen == 0, F.lit(_RHO_MAX))
+        .otherwise(z_hex * 4 + (F.lit(4) - bits) + 1)
+        .cast("int")
+    )
+
+
+def hll_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Distinct-count estimates for cols via the portable HLL sketch.
+
+    Returns one row per column: (col, registers_set, empty_registers,
+    harmonic_s, estimate) — everything but ``estimate`` is integer-exact
+    and engine-independent; ``estimate`` should be rounded by the caller
+    (2 decimals is far coarser than any cross-engine float divergence).
+    """
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.md5(F.col(c).cast("string")).alias("h"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.col", "kv.h")
+    melted = melted.filter(F.col("h").isNotNull())  # nulls don't count
+    regs = melted.select(
+        "col",
+        F.conv(F.substring("h", 1, 3), 16, 10).cast("int").alias("reg"),
+        _rho_spark(F.substring("h", 4, 12)).alias("rho"),
+    )
+    per_reg = regs.groupBy("col", "reg").agg(F.max("rho").alias("m_j"))
+    agg = per_reg.groupBy("col").agg(
+        F.count(F.lit(1)).alias("registers_set"),
+        F.sum(F.pow(F.lit(2.0), (F.lit(_RHO_MAX) - F.col("m_j"))).cast("long")).alias(
+            "s_present"
+        ),
+    )
+    # untouched registers have M=0 -> each contributes 2^49 to S
+    s_total = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("registers_set")) * F.lit(2 ** _RHO_MAX)
+    ).alias("harmonic_s")
+    v = (F.lit(HLL_M) - F.col("registers_set")).alias("empty_registers")
+    raw_e = F.lit(_K) / F.col("harmonic_s")
+    est = F.when(
+        (raw_e <= F.lit(_LINEAR_CUTOFF)) & (F.col("empty_registers") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("empty_registers")),
+    ).otherwise(raw_e)
+    return (
+        agg.select("col", "registers_set", v, s_total)
+        .withColumn("estimate", est)
+        .select("col", "registers_set", "empty_registers", "harmonic_s", "estimate")
+    )
+
+
+def hll_oracle_sql(melt_sql: str) -> str:
+    """DuckDB SQL computing the IDENTICAL sketch.
+
+    melt_sql: a query producing (col VARCHAR, v VARCHAR) — one row per
+    (column name, stringified value). The caller stringifies values the
+    same way Spark's cast-to-string does (integers print identically).
+    """
+    return f"""
+WITH melted AS ({melt_sql}),
+hashed AS (SELECT col, md5(v) AS h FROM melted WHERE v IS NOT NULL),
+regs AS (
+  SELECT col,
+         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256
+       + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16
+       + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) AS reg,
+         regexp_replace(substr(h, 4, 12), '^0+', '') AS stripped
+  FROM hashed
+),
+rho AS (
+  SELECT col, reg,
+    CASE WHEN length(stripped) = 0 THEN {_RHO_MAX}
+         ELSE (12 - length(stripped)) * 4
+              + (4 - CASE WHEN strpos('0123456789abcdef', substr(stripped,1,1)) - 1 >= 8 THEN 4
+                          WHEN strpos('0123456789abcdef', substr(stripped,1,1)) - 1 >= 4 THEN 3
+                          WHEN strpos('0123456789abcdef', substr(stripped,1,1)) - 1 >= 2 THEN 2
+                          ELSE 1 END) + 1
+    END AS rho
+  FROM regs
+),
+per_reg AS (SELECT col, reg, max(rho) AS m_j FROM rho GROUP BY col, reg),
+agg AS (
+  SELECT col,
+         count(*) AS registers_set,
+         CAST(sum(CAST(power(2.0, {_RHO_MAX} - m_j) AS BIGINT)) AS BIGINT) AS s_present
+  FROM per_reg GROUP BY col
+),
+sk AS (
+  SELECT col, registers_set,
+         {HLL_M} - registers_set AS empty_registers,
+         s_present + ({HLL_M} - registers_set) * CAST({2 ** _RHO_MAX} AS BIGINT) AS harmonic_s
+  FROM agg
+)
+SELECT col,
+       CAST(registers_set AS BIGINT) AS registers_set,
+       CAST(empty_registers AS BIGINT) AS empty_registers,
+       harmonic_s,
+       round(CASE WHEN {_K!r} / harmonic_s <= {_LINEAR_CUTOFF!r} AND empty_registers > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / empty_registers)
+                  ELSE {_K!r} / harmonic_s END, 2) AS estimate
+FROM sk ORDER BY col
+"""

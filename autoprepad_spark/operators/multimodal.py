@@ -278,6 +278,61 @@ def extract_features(df: DataFrame, *, fake_decode: bool = True, partitions: int
     return src.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_elems", T.LongType(), True),
+        T.StructField("elem_sum", T.DoubleType(), True),
+        T.StructField("ok", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_stats(df: DataFrame, *, partitions: int | None = None) -> DataFrame:
+    """media table -> per-row decoded-element count and sum via the REAL
+    codec path (BMP/WAV/AVI parsers above).
+
+    These two scalars are exactly re-derivable by an independent engine
+    when the payloads come from synth_media_arith (every decoded element
+    is closed-form in the row index), which is what lets the driver's
+    DuckDB oracle verify the real decode end-to-end. Sums accumulate in
+    float64 over values that are integer multiples of 1/256, so they are
+    EXACT (no summation-order sensitivity) for arrays up to ~10^10
+    elements — far past any single media row.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n_elems, sums, oks = [], [], []
+            for payload, kind in zip(b["payload"], b["kind"]):
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    arr = _decode_payload(bytes(payload), kind, fake=False)
+                    n_elems.append(int(arr.size))
+                    sums.append(float(arr.astype(np.float64).sum()))
+                    oks.append(True)
+                except (NotImplementedError, ValueError, wave.Error, EOFError):
+                    n_elems.append(None)
+                    sums.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "kind": b["kind"],
+                    "n_elems": pd.Series(n_elems, dtype="Int64"),
+                    "elem_sum": pd.Series(sums, dtype="float64"),
+                    "ok": pd.Series(oks),
+                }
+            )
+
+    src = df.select("media_id", "kind", "payload")
+    if partitions:
+        src = src.repartition(partitions, F.xxhash64("media_id"))
+    return src.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
+
+
 def resize_image(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize of (H, W, C) pixels — pure numpy index
     mapping, the standard thumbnailing kernel when no imaging lib is
