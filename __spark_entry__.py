@@ -96,16 +96,6 @@ def q_profile_stats(spark, sf):
     )
 
 
-def q_null_rates(spark, sf):
-    ev = _t(spark, sf, "events").withColumn(
-        "value", F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
-    )
-    out = FN.null_rates(ev, ["value", "props"])
-    return out.select(
-        "column", "n_null", "n_rows", F.round("null_rate", 6).alias("null_rate")
-    )
-
-
 def q_tukey_flags(spark, sf):
     li = _t(spark, sf, "lineitem")
     st = FS.fit_robust(li, "l_extendedprice")
@@ -142,15 +132,6 @@ def q_flag_totals(spark, sf):
         li.withColumn("flag_total", FS.flag_total(*flags).cast("long"))
         .groupBy("flag_total")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
-
-
-def q_topk_label(spark, sf):
-    od = _t(spark, sf, "orders")
-    t = FS.percentile_threshold(od, "o_totalprice", 0.9)
-    label = (F.col("o_totalprice") > F.lit(t)).cast("long")
-    return od.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_rows"), F.sum(label).alias("n_top")
     )
 
 
@@ -285,10 +266,15 @@ def q_ffill(spark, sf):
         .withColumn("vb", F.col("value"))
     )
     out = bfill(ffill(ev, "vf", "_ord", "user_id"), "vb", "_ord", "user_id")
+    # F4 (datetime decomposition) rides the same oracle-checked rows —
+    # merged from the former datetime_parts query (50-entry window)
     return out.select(
         "event_id",
         F.round("vf", 6).alias("value_ffill"),
         F.round("vb", 6).alias("value_bfill"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.weekday("ts").cast("long").alias("wd"),
     )
 
 
@@ -312,44 +298,72 @@ def q_spearman(spark, sf):
 # ---------------------------------------------------------------------------
 
 
-def q_datetime_parts(spark, sf):
-    od = _t(spark, sf, "orders")
-    return od.groupBy(
-        F.year("o_orderdate").cast("long").alias("y"),
-        F.month("o_orderdate").cast("long").alias("m"),
-        F.weekday("o_orderdate").cast("long").alias("wd"),
-    ).agg(F.count(F.lit(1)).alias("n"))
-
-
-def q_null_fingerprint(spark, sf):
+def q_null_profile(spark, sf):
+    """F1 + F2 in one row-set (merged null_rates + null_fingerprint for
+    the 50-entry window): per-column null rates and the null-pattern
+    fingerprint distribution over the SAME nulled frame."""
     ev = (
         _t(spark, sf, "events")
         .withColumn("value", F.when(F.col("event_type") == "error", None).otherwise(F.col("value")))
         .withColumn("props", F.when(F.col("event_type") == "signup", None).otherwise(F.col("props")))
     )
+    rates = FN.null_rates(ev, ["value", "props"]).select(
+        F.lit("rate").alias("stat"),
+        F.col("column").alias("key"),
+        F.col("n_null").cast("long").alias("n"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("null_rate", 6).alias("frac"),
+    )
     fp = FN.null_fingerprint(["value", "props"])
-    return ev.groupBy(fp.alias("fingerprint")).agg(F.count(F.lit(1)).alias("n"))
+    fps = (
+        ev.groupBy(fp.alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("n_rows", F.sum("n").over(W.partitionBy()))
+        .select(
+            F.lit("fingerprint").alias("stat"),
+            F.col("fingerprint").cast("string").alias("key"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n") / F.col("n_rows"), 6).alias("frac"),
+        )
+    )
+    return rates.unionByName(fps)
 
 
-def q_ordinal_encode(spark, sf):
-    from autoprepad_spark.functions.encoders import fit_vocabulary, ordinal_encode
+def q_encoders(spark, sf):
+    """E1 + E2 in one row-set (merged ordinal_encode + binary_encode for
+    the 50-entry window): the ordinal codes over customer.c_mktsegment
+    and the 5-bit binary codes over part.p_brand, the latter re-packed
+    bit0..bit4 -> integer so both halves share one schema (the packing
+    still proves every individual bit: any flipped bit changes the
+    packed value)."""
+    from autoprepad_spark.functions.encoders import (
+        binary_encode,
+        fit_vocabulary,
+        ordinal_encode,
+    )
 
     cu = _t(spark, sf, "customer")
-    vocab = fit_vocabulary(cu, "c_mktsegment")
-    enc = ordinal_encode(cu, "c_mktsegment", vocab)
-    return enc.groupBy(
-        "c_mktsegment", F.col("c_mktsegment_ord").cast("long").alias("ord")
+    vocab_o = fit_vocabulary(cu, "c_mktsegment")
+    enc_o = ordinal_encode(cu, "c_mktsegment", vocab_o)
+    ords = enc_o.groupBy(
+        F.lit("ordinal").alias("encoder"),
+        F.col("c_mktsegment").alias("key"),
+        F.col("c_mktsegment_ord").cast("long").alias("code"),
     ).agg(F.count(F.lit(1)).alias("n"))
 
-
-def q_binary_encode(spark, sf):
-    from autoprepad_spark.functions.encoders import binary_encode, fit_vocabulary
-
     pt = _t(spark, sf, "part")
-    vocab = fit_vocabulary(pt, "p_brand")
-    enc = binary_encode(pt, "p_brand", vocab, n_bits=5)
-    bits = [F.col(f"p_brand_bin_{i}").cast("long").alias(f"bit{i}") for i in range(5)]
-    return enc.groupBy("p_brand", *bits).agg(F.count(F.lit(1)).alias("n"))
+    vocab_b = fit_vocabulary(pt, "p_brand")
+    enc_b = binary_encode(pt, "p_brand", vocab_b, n_bits=5)
+    packed = sum(
+        F.col(f"p_brand_bin_{i}").cast("long") * (1 << (4 - i)) for i in range(5)
+    )
+    bins = enc_b.groupBy(
+        F.lit("binary").alias("encoder"),
+        F.col("p_brand").alias("key"),
+        packed.alias("code"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return ords.unionByName(bins)
 
 
 def q_charclass_pattern(spark, sf):
@@ -431,6 +445,38 @@ def q_minhash_dedup(spark, sf):
     sh.unpersist()
     sigs.unpersist()
     return out
+
+
+def q_dup_clusters(spark, sf):
+    """Duplicate-CLUSTER resolution (new in r03): verified near-dup
+    pairs collapsed into connected components via alternating
+    large-star/small-star contractions (distributed, O(log^2 n) rounds,
+    lineage-truncated) -> per-cluster sizes. This is the step a real
+    dedup pipeline needs after pair verification: (a,b),(b,c) must
+    become ONE keep decision for {a,b,c}. The oracle recomputes the
+    components with a recursive CTE over the same exact-Jaccard J>=0.9
+    pair set, so a green row proves the distributed star algorithm
+    reaches the same fixpoint as transitive closure."""
+    docs = _docs_with_dups(spark, sf)
+    sh = DD._shingle_hashes(docs, "text", "doc_id", 3).cache()
+    sh.count()
+    sigs = DD.minhash_signatures(
+        docs, text_col="text", id_col="doc_id", shingles=sh
+    ).cache()
+    cands = DD.minhash_candidates(
+        sigs, id_col="doc_id", num_hashes=32, max_bucket_size=None
+    )
+    pairs = DD.verify_pairs_jaccard(
+        docs, cands, threshold=0.9, shingles=sh, broadcast_pairs=True
+    )
+    out = DD.dup_cluster_sizes(pairs).cache()
+    out.count()
+    sh.unpersist()
+    sigs.unpersist()
+    return out.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
 
 
 def q_simhash_dedup(spark, sf):
@@ -520,11 +566,23 @@ def q_embedding_topk(spark, sf):
     )
 
 
-def q_embedding_lsh_topk(spark, sf):  # rows-only: plane family engine-specific
+def q_embedding_ann_topk(spark, sf):
+    """Both approximate-NN paths in one rows-only entry (merged
+    embedding_lsh_topk + embedding_ivf_topk for the 50-entry window):
+    hyperplane/centroid families are engine-specific so no value oracle
+    exists by design; recall vs brute force is pytest-proven."""
     em = _t(spark, sf, "embeddings")
     q = em.filter(F.col("vec_id") < 10)
-    out = SIM.lsh_topk(em, q, k=5, dim=64)
-    return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
+    lsh = SIM.lsh_topk(em, q, k=5, dim=64).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )
+    assigned, centroids = SIM.ivf_build(em, n_cells=8, seed=42)
+    ivf = SIM.ivf_topk(assigned, centroids, q, k=5, nprobe=3).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim"),
+    )
+    return lsh.unionByName(ivf)
 
 
 def q_multimodal_features(spark, sf):
@@ -543,14 +601,6 @@ def q_multimodal_features(spark, sf):
         F.round("elem_sum", 4).alias("elem_sum"),
         F.col("ok").cast("long").alias("ok"),
     )
-
-
-def q_embedding_ivf_topk(spark, sf):  # rows-only: centroid init engine-specific
-    em = _t(spark, sf, "embeddings")
-    q = em.filter(F.col("vec_id") < 10)
-    assigned, centroids = SIM.ivf_build(em, n_cells=8, seed=42)
-    out = SIM.ivf_topk(assigned, centroids, q, k=5, nprobe=3)
-    return out.select("query_id", "neighbor_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
 def q_anomaly_scores(spark, sf):
@@ -1032,22 +1082,32 @@ def q_regression_impute(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The harness records rows for at most the FIRST 50 dict entries
     # (r01 checked 40/40, r02 checked 50/52 with the tail dropped), so
-    # exactly 50 oracle-able queries come first — flagships, then the
-    # round-3 additions, then per-operator queries — and the rows-only
-    # entries (no value oracle possible by design; pytest-covered) sit
-    # last. Absorbed to fit the window, with evidence preserved:
-    #   bfill        -> ffill (both fill directions, one row-set)
-    #   drift_chi2   -> drift_psi (one drift() plan emits both stats)
-    #   minmax_scale -> anomaly_scores (A8's reference use IS the
-    #                   AnomalyScore 0-1 rescale; also unit-tested)
-    #   value_counts -> topk_label / eval_metrics (label distributions)
-    #   union_all    -> hash_split unions its three split summaries;
-    #                   J3 also exercised in asof/profile/suite plans
+    # EXACTLY 50 entries total — 49 oracle-checked + 1 rows-only
+    # (embedding_ann_topk: plane/centroid families are engine-specific
+    # by design; recall is pytest-proven). Absorbed to fit the window,
+    # with evidence preserved:
+    #   bfill          -> ffill (both fill directions, one row-set)
+    #   datetime_parts -> ffill (y/m/wd of ts on the same rows)
+    #   drift_chi2     -> drift_psi (one drift() plan emits both stats)
+    #   minmax_scale   -> anomaly_scores (A8's reference use IS the
+    #                     AnomalyScore 0-1 rescale; also unit-tested)
+    #   topk_label     -> anomaly_scores (F8 percentile threshold drives
+    #                     AnomalyLabel; also percentile_sweep)
+    #   value_counts   -> eval_metrics (label distributions)
+    #   union_all      -> hash_split unions its three split summaries;
+    #                     J3 also exercised in asof/profile/suite plans
+    #   null_rates + null_fingerprint   -> null_profile (F1+F2)
+    #   ordinal_encode + binary_encode  -> encoders (E1+E2)
+    #   embedding_lsh_topk + embedding_ivf_topk -> embedding_ann_topk
+    # r03 additions: dup_clusters (connected components), oracle-exact
+    # approx_distinct (portable HLL) and multimodal_features (analytic
+    # decode oracle).
     return {
         "validate_tokens": q_validate_tokens,
         "corpus_pipeline": q_corpus_pipeline,
         "dedup_exact": q_dedup_exact,
         "minhash_dedup": q_minhash_dedup,
+        "dup_clusters": q_dup_clusters,
         "hash_split": q_hash_split,
         "stream_drift": q_stream_drift,
         "stream_running_totals": q_stream_running_totals,
@@ -1055,12 +1115,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mahalanobis_scores": q_mahalanobis,
         "regression_impute": q_regression_impute,
         "profile_stats": q_profile_stats,
-        "null_rates": q_null_rates,
+        "null_profile": q_null_profile,
         "tukey_flags": q_tukey_flags,
         "mad_flags": q_mad_flags,
         "zscore_flags": q_zscore_flags,
         "flag_totals": q_flag_totals,
-        "topk_label": q_topk_label,
         "robust_scale": q_robust_scale,
         "impute_median": q_impute_median,
         "no_variance": q_no_variance,
@@ -1072,10 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffill": q_ffill,
         "sort_severity": q_sort_severity,
         "spearman": q_spearman,
-        "datetime_parts": q_datetime_parts,
-        "null_fingerprint": q_null_fingerprint,
-        "ordinal_encode": q_ordinal_encode,
-        "binary_encode": q_binary_encode,
+        "encoders": q_encoders,
         "charclass_pattern": q_charclass_pattern,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_dedup": q_simhash_dedup,
@@ -1094,12 +1150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_rollup": q_profile_rollup,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
-        # rows-only by design (sketch internals / plane families /
-        # generated payloads differ across engines)
         "approx_distinct": q_approx_distinct,
-        "embedding_lsh_topk": q_embedding_lsh_topk,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        # rows-only by design (hyperplane/centroid families are
+        # engine-internal; recall vs brute force is pytest-proven)
+        "embedding_ann_topk": q_embedding_ann_topk,
     }
 
 
@@ -1238,14 +1293,30 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
             FROM lineitem GROUP BY 1, 2
         """,
-        "null_rates": f"""
-            WITH ev AS ({_EV_NULLED})
-            SELECT col AS "column", n_null, n_rows, round(n_null / n_rows, 6) AS null_rate
-            FROM (
-              SELECT 'value' AS col, count(*) - count(value) AS n_null, count(*) AS n_rows FROM ev
+        "null_profile": """
+            WITH ev AS (
+              SELECT CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value,
+                     CASE WHEN event_type = 'signup' THEN NULL ELSE props END AS props,
+                     event_type
+              FROM events
+            ),
+            tot AS (SELECT count(*) AS t FROM ev),
+            rates AS (
+              SELECT 'value' AS key, count(*) - count(value) AS n FROM ev
               UNION ALL
-              SELECT 'props', count(*) - count(props), count(*) FROM ev
+              SELECT 'props', count(*) - count(props) FROM ev
+            ),
+            fp AS (
+              SELECT (CASE WHEN value IS NULL THEN 1 ELSE 0 END
+                    + CASE WHEN props IS NULL THEN 2 ELSE 0 END) AS fingerprint,
+                     count(*) AS n
+              FROM ev GROUP BY 1
             )
+            SELECT 'rate' AS stat, key, n::BIGINT AS n, t AS n_rows,
+                   round(n / t, 6) AS frac FROM rates, tot
+            UNION ALL
+            SELECT 'fingerprint', CAST(fingerprint AS VARCHAR), n::BIGINT, t,
+                   round(n / t, 6) FROM fp, tot
         """,
         "tukey_flags": """
             WITH s AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
@@ -1279,12 +1350,6 @@ def oracle_sql() -> dict[str, str]:
                   + CASE WHEN l_discount < d.q1 - 1.5*(d.q3-d.q1) OR l_discount > d.q3 + 1.5*(d.q3-d.q1) THEN 1 ELSE 0 END)::BIGINT AS flag_total,
                    count(*) AS n
             FROM lineitem, q, p, d GROUP BY 1
-        """,
-        "topk_label": """
-            WITH t AS (SELECT quantile_cont(o_totalprice, 0.9) AS thr FROM orders)
-            SELECT o_orderpriority, count(*) AS n_rows,
-                   sum(CASE WHEN o_totalprice > thr THEN 1 ELSE 0 END)::BIGINT AS n_top
-            FROM orders, t GROUP BY 1
         """,
         "robust_scale": """
             WITH s AS (SELECT quantile_cont(l_quantity, 0.25) AS q1,
@@ -1356,7 +1421,9 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_ffill,
                    round(first_value(value IGNORE NULLS) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS value_bfill
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS value_bfill,
+                   year(ts)::BIGINT AS y, month(ts)::BIGINT AS m,
+                   (isodow(ts) - 1)::BIGINT AS wd
             FROM ev
         """,
         "sort_severity": """
@@ -1373,38 +1440,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
                    round(corr(ra, rb), 6) AS rho FROM r
         """,
-        "datetime_parts": """
-            SELECT year(o_orderdate)::BIGINT AS y, month(o_orderdate)::BIGINT AS m,
-                   (isodow(o_orderdate) - 1)::BIGINT AS wd, count(*) AS n
-            FROM orders GROUP BY 1, 2, 3
-        """,
-        "null_fingerprint": """
-            SELECT (CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
-                  + CASE WHEN event_type = 'signup' THEN 2 ELSE 0 END)::BIGINT AS fingerprint,
-                   count(*) AS n
-            FROM events GROUP BY 1
-        """,
-        "ordinal_encode": """
-            WITH v AS (SELECT c_mktsegment AS value,
-                              (row_number() OVER (ORDER BY count(*) DESC, c_mktsegment ASC) - 1) AS idx
-                       FROM customer GROUP BY 1)
-            SELECT c.c_mktsegment, v.idx::BIGINT AS ord, count(*) AS n
-            FROM customer c JOIN v ON v.value = c.c_mktsegment
-            GROUP BY 1, 2
-        """,
-        "binary_encode": """
-            WITH v AS (SELECT p_brand AS value,
-                              row_number() OVER (ORDER BY count(*) DESC, p_brand ASC) AS code
-                       FROM part GROUP BY 1)
-            SELECT p.p_brand,
-                   (floor(code / 16) % 2)::BIGINT AS bit0,
-                   (floor(code / 8) % 2)::BIGINT AS bit1,
-                   (floor(code / 4) % 2)::BIGINT AS bit2,
-                   (floor(code / 2) % 2)::BIGINT AS bit3,
-                   (code % 2)::BIGINT AS bit4,
-                   count(*) AS n
-            FROM part p JOIN v ON v.value = p.p_brand
-            GROUP BY 1, 2, 3, 4, 5, 6
+        "encoders": """
+            WITH vo AS (SELECT c_mktsegment AS value,
+                               (row_number() OVER (ORDER BY count(*) DESC, c_mktsegment ASC) - 1) AS idx
+                        FROM customer GROUP BY 1),
+            ords AS (
+              SELECT 'ordinal' AS encoder, c.c_mktsegment AS key,
+                     vo.idx::BIGINT AS code, count(*) AS n
+              FROM customer c JOIN vo ON vo.value = c.c_mktsegment
+              GROUP BY 1, 2, 3
+            ),
+            vb AS (SELECT p_brand AS value,
+                          row_number() OVER (ORDER BY count(*) DESC, p_brand ASC) AS code
+                   FROM part GROUP BY 1),
+            bins AS (
+              SELECT 'binary' AS encoder, p.p_brand AS key,
+                     (vb.code % 32)::BIGINT AS code, count(*) AS n
+              FROM part p JOIN vb ON vb.value = p.p_brand
+              GROUP BY 1, 2, 3
+            )
+            SELECT * FROM ords UNION ALL SELECT * FROM bins
         """,
         "charclass_pattern": """
             SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -1450,6 +1505,33 @@ def oracle_sql() -> dict[str, str]:
             FROM inter JOIN sizes sa ON sa.doc_id = id_a
                        JOIN sizes sb ON sb.doc_id = id_b
             WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE d AS ({_DOCS2}),
+            words AS (SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w FROM d),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+                   FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                         JOIN sizes sb ON sb.doc_id = id_b
+              WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+            ),
+            sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            lbl AS (SELECT a AS node, least(a, min(b)) AS cluster
+                    FROM reach GROUP BY a)
+            SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n_docs
+            FROM lbl GROUP BY cluster
         """,
         "simhash_dedup": f"""
             WITH d AS ({_DOCS2}),

@@ -362,3 +362,126 @@ def simhash_candidates(fps: DataFrame, *, id_col: str = "doc_id", band_bits: int
         .distinct()
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    *,
+    max_iter: int = 25,
+    verbose: bool = False,
+) -> DataFrame:
+    """(node, component) labels for the undirected graph given as pairs,
+    component = the smallest node id reachable from each node.
+
+    This is the step a real dedup pipeline needs AFTER pair
+    verification: near-dup pairs (a,b),(b,c) must collapse into ONE keep
+    decision for {a,b,c}, which is exactly connected components.
+
+    Algorithm: alternating large-star / small-star contractions
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — each round is two (groupBy + join) shuffles on node keys
+    and converges in O(log^2 n) rounds, versus O(diameter) for naive
+    label propagation (a 100 TB web crawl's boilerplate chains can have
+    long paths). No driver-side graph state: the driver sees only the
+    per-round edge count for the fixpoint test. Each round's result is
+    persisted and the previous round freed, so lineage stays one round
+    deep instead of growing with iterations.
+
+    Determinism: min() contractions are order-independent; the output is
+    a pure function of the input pair set.
+
+    Lineage: every round ends in localCheckpoint(eager) rather than
+    persist(). With persist alone the logical plan still GROWS by one
+    round's operators every iteration and Catalyst re-analyzes the whole
+    accumulated tree per round — measured here as per-round driver time
+    inflating from seconds to minutes by round 3. Checkpointing truncates
+    the plan to a leaf. (On a cluster, flip to reliable checkpoint() —
+    localCheckpoint blocks don't survive executor loss.)
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    # canonical orientation big->small: (u, v) with u > v
+    edges = (
+        pairs.select(
+            F.greatest(F.col(col_a), F.col(col_b)).alias("u"),
+            F.least(F.col(col_a), F.col(col_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = edges.count()
+    for _ in range(max_iter):
+        # ---- large-star: connect every neighbor bigger than u to
+        # m(u) = min(N(u) ∪ {u}) ------------------------------------
+        bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bidir.groupBy("u").agg(F.min("v").alias("_mn")).select(
+            "u", F.least(F.col("_mn"), F.col("u")).alias("m")
+        )
+        large = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            # small-star reads this twice (join side + smins); persist so
+            # the large-star shuffle chain runs once per round
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # ---- small-star: connect u and all smaller neighbors to the
+        # minimum of that set ----------------------------------------
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = small.count()
+        large.unpersist()
+        # cheap guard first: set equality is only possible at equal
+        # counts, so the anti-join (one extra job) runs ~once, at the
+        # actual fixpoint
+        stable = (
+            n_new == n_prev
+            and edges.join(small, ["u", "v"], "left_anti").isEmpty()
+        )
+        # previous round's checkpoint blocks are freed by the
+        # ContextCleaner once the old frame is unreferenced
+        edges, n_prev = small, n_new
+        if verbose:
+            import sys as _sys
+
+            print(f"# cc round edges={n_new} stable={stable}", file=_sys.stderr)
+        if stable:
+            break
+    # at fixpoint every edge is (node, component-min); the minima label
+    # themselves
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return labels.unionByName(roots)
+
+
+def dup_cluster_sizes(
+    pairs: DataFrame, col_a: str = "id_a", col_b: str = "id_b"
+) -> DataFrame:
+    """(cluster, n_docs) per near-duplicate cluster — the groupBy over
+    connected_components labels that drives keep-one-per-cluster."""
+    cc = connected_components(pairs, col_a, col_b)
+    return cc.groupBy(F.col("component").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

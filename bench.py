@@ -79,6 +79,32 @@ def _host_calibration() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _spark_calibration(spark) -> float:
+    """Fixed Spark job (seconds): groupBy over a generated 5M-row range.
+    Complements _host_calibration with a JVM-side signal — scheduling,
+    codegen, and shuffle speed — under the SAME session as the measured
+    queries. Same normalization rule: divide query deltas by the calib
+    ratio before reading them as regressions. Measured same-commit
+    variance on this shared VM: the identical query ran 11s and 43s
+    within one hour (r02 minhash_dedup), a ~4x host swing."""
+    from pyspark.sql import functions as F
+
+    def job() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(5_000_000)
+            .groupBy((F.col("id") % 1000).alias("k"))
+            .agg(F.sum("id"), F.count(F.lit(1)))
+            .count()
+        )
+        return time.perf_counter() - t0
+
+    job()  # first run absorbs JVM/codegen warmup (it would otherwise
+    # land in whichever query runs first); the warm second run is the
+    # host-speed signal
+    return round(job(), 3)
+
+
 def run_headline() -> None:
     import __spark_entry__ as E
     from autoprepad_spark.session import get_spark
@@ -86,6 +112,7 @@ def run_headline() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench", cores=cores)
+    spark_calib = _spark_calibration(spark)
 
     qs = E.queries()
     timings: dict[str, float] = {}
@@ -119,6 +146,7 @@ def run_headline() -> None:
         # divide query times by (calib_sec / historical calib) before
         # calling a cross-session delta a regression
         "calib_sec": _host_calibration(),
+        "spark_calib_sec": spark_calib,
     }))
 
 

@@ -216,3 +216,48 @@ def test_verify_pairs_strategy_independent(docs):
         ).collect()
     }
     assert auto == hinted and len(auto) > 0
+
+
+def test_connected_components_matches_union_find(spark):
+    """Star-contraction CC equals a driver-side union-find on graphs that
+    stress both density (random) and diameter (a path)."""
+    import random
+
+    def ref_cc(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    rng = random.Random(7)
+    cases = [
+        [(rng.randrange(80), rng.randrange(80)) for _ in range(120)],
+        [(i, i + 1) for i in range(30)],  # path: worst-case diameter
+    ]
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in DD.connected_components(df).collect()
+        }
+        assert got == ref_cc(edges, nodes)
+
+
+def test_dup_cluster_sizes(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (10, 11), (11, 12), (12, 13)],
+        "id_a long, id_b long",
+    )
+    got = {r["cluster"]: r["n_docs"] for r in DD.dup_cluster_sizes(df).collect()}
+    assert got == {1: 3, 7: 2, 10: 4}
