@@ -258,3 +258,39 @@ def stream_profile(
             "mean_value",
         )
     )
+
+
+def stream_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming EXACT dedup: emit each normalized-content hash once,
+    suppressing re-arrivals within the watermark horizon.
+
+    The batch dedup family (operators/dedup.py) answers "which docs are
+    duplicates"; a streaming ingest pipeline instead needs "drop the
+    copy as it ARRIVES". dropDuplicatesWithinWatermark keys the
+    engine-managed state store on the 16-byte content hash — state is
+    bounded by the watermark horizon (expired keys are evicted), which
+    is the only sound unbounded-stream semantics: an unbounded exact
+    dedup would otherwise hold every hash ever seen. Duplicates farther
+    apart than the horizon are the batch backfill's job (the standard
+    lambda split). The content hash reuses the SAME normalize_text
+    canonicalization as batch dedup, so stream + backfill agree on what
+    "identical" means.
+
+    Returns the deduplicated streaming frame (original columns); attach
+    any sink with outputMode("append").
+    """
+    from autoprepad_spark.operators.dedup import normalize_text
+
+    hashed = docs.withColumn("_text_hash", F.md5(normalize_text(text_col)))
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_text_hash"])
+        .drop("_text_hash")
+    )

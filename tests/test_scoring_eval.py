@@ -585,3 +585,42 @@ def test_regression_impute_fills_with_ols(spark):
     beta = np.linalg.lstsq(X, ys[~mask], rcond=None)[0]
     want = beta[0] + beta[1] * xs[mask]
     assert np.allclose(out["y"][mask], want, atol=1e-6)
+
+
+def test_stream_dedup_suppresses_rearrivals(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keyed on the content hash: the
+    second arrival of identical (normalized) text within the horizon is
+    dropped; distinct texts all pass."""
+    from datetime import datetime
+
+    from autoprepad_spark.streaming.validate import stream_dedup
+
+    inp = str(tmp_path / "in")
+    rows = [
+        (1, "the quick brown fox", datetime(2026, 1, 1, 10, 0, 0)),
+        (2, "The  quick   BROWN fox ", datetime(2026, 1, 1, 10, 1, 0)),  # dup after normalize
+        (3, "an entirely different doc", datetime(2026, 1, 1, 10, 2, 0)),
+        (4, "the quick brown fox", datetime(2026, 1, 1, 10, 3, 0)),  # dup again
+        (5, "yet another doc", datetime(2026, 1, 1, 10, 4, 0)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(inp)
+
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(inp)
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    # one survivor per content hash; engine keeps an arbitrary-but-single one
+    assert len(got) == 3
+    assert 3 in got and 5 in got
+    assert len(got & {1, 2, 4}) == 1
