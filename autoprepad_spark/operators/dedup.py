@@ -485,3 +485,25 @@ def dup_cluster_sizes(
     return cc.groupBy(F.col("component").alias("cluster")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+def keep_one_per_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+) -> DataFrame:
+    """The deduplicated corpus: drop every doc that belongs to a near-dup
+    cluster except the cluster's smallest id (deterministic canonical
+    pick). Docs in no pair pass through untouched.
+
+    One broadcast-or-shuffled left_anti join against the (tiny relative
+    to the corpus) drop-list — the labels frame holds only docs that
+    appear in some pair, and the anti-join key is the doc id, so the
+    corpus itself is never widened or re-shuffled."""
+    labels = connected_components(pairs, col_a, col_b)
+    drop = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

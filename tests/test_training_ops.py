@@ -261,3 +261,17 @@ def test_dup_cluster_sizes(spark):
     )
     got = {r["cluster"]: r["n_docs"] for r in DD.dup_cluster_sizes(df).collect()}
     assert got == {1: 3, 7: 2, 10: 4}
+
+
+def test_keep_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in DD.keep_one_per_cluster(docs, pairs).collect()
+    )
+    # clusters {1,2,3} -> keep 1; {7,9} -> keep 7; singletons pass through
+    assert kept == [0, 1, 4, 5, 6, 7, 8]
