@@ -159,3 +159,48 @@ def top_k_terms(
         .filter(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "term", "n", "rank")
     )
+
+
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """Fraction of a doc's lines that are repeats of an earlier line —
+    the Gopher-style boilerplate signal (nav bars, cookie banners repeat
+    verbatim). Pure array expressions: split on newline, drop blanks,
+    compare distinct-count to count. 0.0 for docs with <= 1 line."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    n = F.size(lines)
+    return F.when(
+        n > 1, (n - F.size(F.array_distinct(lines))) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def top_bigram_fraction(col: Column | str) -> Column:
+    """Fraction of the doc's word-bigram occurrences taken by its single
+    most frequent bigram — high values mean templated/repetitive text
+    (the Gopher rep-2 rule). Expression-only: build the bigram array,
+    then aggregate max-count via a nested TRANSFORM/FILTER comparison —
+    no explode, no shuffle, evaluated row-local."""
+    from autoprepad_spark.operators.dedup import normalize_text
+
+    words = F.split(normalize_text(col if isinstance(col, str) else col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 2)))
+    distinct = F.array_distinct(bigrams)
+    counts = F.transform(
+        distinct, lambda d: F.size(F.filter(bigrams, lambda b: b == d))
+    )
+    return F.when(
+        n > 2, F.array_max(counts) / F.size(bigrams).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc repetition signals (dup-line fraction + top-bigram
+    fraction) — the quality-gate inputs a corpus pipeline thresholds on.
+    Row-local expressions only: scales as a pure map, no shuffle."""
+    return df.select(
+        "*",
+        F.round(duplicate_line_fraction(text_col), 6).alias("dup_line_frac"),
+        F.round(top_bigram_fraction(text_col), 6).alias("top_bigram_frac"),
+    )

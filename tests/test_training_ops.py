@@ -275,3 +275,23 @@ def test_keep_one_per_cluster(spark):
     )
     # clusters {1,2,3} -> keep 1; {7,9} -> keep 7; singletons pass through
     assert kept == [0, 1, 4, 5, 6, 7, 8]
+
+
+def test_repetition_profile(spark):
+    from autoprepad_spark.operators.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "accept cookies\nreal content here\naccept cookies\nmore text"),
+            (2, "one\ntwo\nthree\nfour"),
+            (3, "spam spam spam spam spam spam"),
+            (4, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_profile(docs).collect()}
+    assert got[1]["dup_line_frac"] == 0.25      # 1 repeat of 4 lines
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == round(1 / 3, 6)  # all bigrams distinct
+    assert got[3]["top_bigram_frac"] == 1.0     # "spam spam" is every bigram
+    assert got[4]["dup_line_frac"] == 0.0 and got[4]["top_bigram_frac"] == 0.0
