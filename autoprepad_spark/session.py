@@ -31,9 +31,18 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 32)
 
+    # Under spark-submit the JVM gateway is already up and the master
+    # (e.g. yarn / k8s / a standalone cluster URL from --master) is fixed
+    # by the launcher; hard-coding local[N] here would silently override
+    # it. PythonRunner exports PYSPARK_GATEWAY_PORT into the driver
+    # process, so its presence == "launched via spark-submit".
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+
+    builder = SparkSession.builder.appName(app_name)
+    if not under_submit:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")

@@ -301,6 +301,12 @@ def run_scaling(rows: int, n_cores: int = 4, n4_cores: int = 16) -> None:
     _write_bench_md(summary)
 
 
+# Everything after this marker in BENCH/BASELINE.md is hand-curated
+# analysis (pair-choice rationale, stage-level attribution) and is
+# carried over verbatim when a new --scaling run rewrites the header.
+_CURATED_MARK = "<!-- curated-notes -->"
+
+
 def _write_bench_md(s: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     n, n4 = s["n"], s["n4"]
@@ -337,11 +343,14 @@ Reproduce: `python bench.py --scaling {s["rows"]}`
 
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    history = []
+    history, curated = [], ""
     if os.path.exists(path):
         with open(path) as f:
-            lines = f.read().splitlines()
-        history = [l for l in lines if l.startswith("- `{")]
+            text = f.read()
+        history = [l for l in text.splitlines() if l.startswith("- `{")]
+        # hand-written analysis below the marker survives rewrites
+        if _CURATED_MARK in text:
+            curated = text.split(_CURATED_MARK, 1)[1]
     history.append(
         "- `" + json.dumps({
             "rows": s["rows"], "eff": s["value"],
@@ -351,6 +360,8 @@ Reproduce: `python bench.py --scaling {s["rows"]}`
         }) + "`"
     )
     md += "\n".join(history) + "\n"
+    if curated:
+        md += "\n" + _CURATED_MARK + curated
     with open(path, "w") as f:
         f.write(md)
 
