@@ -1,0 +1,131 @@
+"""Benchmark-contamination detection for training corpora.
+
+No reference counterpart (AutoPrepAD validates single tables —
+`pipelines/control.py:40` — not corpora); this is the standard
+decontamination step of an LLM training-data pipeline: flag training
+documents whose word n-grams overlap a held-out evaluation benchmark
+(the GPT-3 appendix-C / Llama-2 style check, typically 8-13-gram
+overlap), expressed Spark-first:
+
+* the benchmark side is shingled into word k-grams and its DISTINCT
+  hashed shingle set is BROADCAST — eval suites are small by
+  construction (thousands of items, ~10^5-10^6 shingles) while the
+  corpus is the 100-TB side, so the probe join is a map-side broadcast
+  hash join and the corpus is never shuffled;
+* hits aggregate per (doc, benchmark item) in one groupBy whose key
+  count is bounded by TRUE matches (a clean corpus produces ~0 rows),
+  never by corpus x benchmark;
+* joins compare full 64-bit xxhash64 shingle hashes (collision odds
+  ~|bench shingles| / 2^64 per corpus shingle — negligible even at
+  10^12 corpus shingles; minhash's 2^31 domain would NOT be: at that
+  width a 10^12-shingle corpus manufactures ~10^8 false hits);
+* ``decontaminate`` drops flagged docs with one left_anti join on the
+  doc id (the keep_one_per_cluster shape: the corpus is never widened
+  or re-shuffled; AQE picks broadcast vs shuffle for the drop-list).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from autoprepad_spark.operators.dedup import word_shingles
+
+#: contamination flag: fraction of the benchmark ITEM's shingles that
+#: must appear in the document. 0.5 is a common operating point for
+#: 8-gram checks; exact inclusion of a short eval item scores 1.0.
+DEFAULT_MIN_OVERLAP = 0.5
+
+
+def benchmark_probes(
+    bench: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "bench_id",
+    k: int = 8,
+) -> DataFrame:
+    """(bench_id, probe) — the DISTINCT 64-bit-hashed word-k-shingle set
+    of each benchmark item. This is the broadcast side; materialize it
+    once (e.g. ``.cache()``) when probing several corpus shards."""
+    return (
+        bench.select(
+            F.col(id_col).alias("bench_id"),
+            F.explode(word_shingles(text_col, k)).alias("_sh"),
+        )
+        .select("bench_id", F.xxhash64("_sh").alias("probe"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    k: int = 8,
+    min_overlap: float = DEFAULT_MIN_OVERLAP,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per (document, benchmark item) n-gram-overlap report.
+
+    Returns (doc_id, bench_id, n_hits, bench_n_shingles, overlap_frac,
+    contaminated) — one row per pair sharing at least one k-shingle;
+    ``contaminated`` marks overlap_frac >= min_overlap. The report is
+    output-bounded: row count scales with actual overlap, not with
+    |corpus| x |benchmark|.
+
+    broadcast_bench=True is the 100-TB plan (map-side hash join, zero
+    corpus shuffle) and requires the hashed benchmark shingle set to fit
+    executor memory — true for any real eval suite. Set it False only
+    for a pathological benchmark side, and AQE chooses the strategy.
+    """
+    probes = benchmark_probes(
+        bench, text_col=bench_text_col, id_col=bench_id_col, k=k
+    )
+    bench_sizes = probes.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("bench_n_shingles")
+    )
+    if broadcast_bench:
+        probes, bench_sizes = F.broadcast(probes), F.broadcast(bench_sizes)
+
+    doc_sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, k)).alias("_sh"),
+    ).select("doc_id", F.xxhash64("_sh").alias("probe"))
+
+    hits = (
+        doc_sh.join(probes, "probe")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.join(bench_sizes, "bench_id").select(
+        "doc_id",
+        "bench_id",
+        "n_hits",
+        "bench_n_shingles",
+        (F.col("n_hits") / F.col("bench_n_shingles")).alias("overlap_frac"),
+        (F.col("n_hits") / F.col("bench_n_shingles") >= min_overlap).alias(
+            "contaminated"
+        ),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    report: DataFrame,
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The decontaminated corpus: drop every document the report flags.
+
+    One left_anti join on the doc id against the (tiny relative to the
+    corpus) flagged-id list; clean documents pass through untouched and
+    the corpus is never widened or re-shuffled."""
+    bad = (
+        report.filter(F.col("contaminated"))
+        .select(F.col("doc_id").alias(id_col))
+        .distinct()
+    )
+    return docs.join(bad, id_col, "left_anti")
