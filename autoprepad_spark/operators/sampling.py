@@ -42,7 +42,12 @@ def hash_threshold(fraction: float) -> str:
 
 
 def _bucket(key_col: str, salt: str) -> Column:
-    k = F.col(key_col).cast("string")
+    # Null keys hash to a fixed sentinel rather than NULL: md5(NULL) is
+    # NULL, which fails every comparison — null-key rows would silently
+    # vanish from ALL splits, breaking hash_split's every-row-lands-in-
+    # exactly-one-split guarantee (real corpora do contain null ids;
+    # datagen injects them). All null-key rows co-locate deterministically.
+    k = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
     if salt:
         k = F.concat(k, F.lit(salt))
     return F.md5(k)
@@ -72,6 +77,63 @@ def stratified_sample(
     for g, frac in sorted(fractions.items()):
         thr = F.when(F.col(group_col) == g, F.lit(hash_threshold(frac))).otherwise(thr)
     return df.filter(_bucket(key_col, salt) < thr)
+
+
+def mix_rates(
+    df: DataFrame,
+    targets: dict[str, float],
+    *,
+    weight_col: str = "n_tok",
+    group_col: str = "source",
+) -> dict[str, float]:
+    """Per-group sampling rates realizing a target WEIGHT mixture.
+
+    The training-mix step of an LLM pipeline weights sources by TOKENS,
+    not documents (e.g. 60% web / 30% code / 10% books of the token
+    budget). Given available token mass per group (ONE |groups|-row
+    aggregation — the only action here), pick rates that hit the target
+    proportions while keeping as much data as possible: the binding
+    group (smallest available/target ratio) keeps rate 1.0 and every
+    other group is downsampled to match. Groups absent from ``targets``
+    get no rate (callers drop them via stratified_sample's default=0).
+    """
+    avail = {
+        r[group_col]: float(r["_w"])
+        for r in df.groupBy(group_col).agg(F.sum(weight_col).alias("_w")).collect()
+        if r["_w"] is not None and r["_w"] > 0
+    }
+    t = {g: v for g, v in targets.items() if g in avail and v > 0}
+    z = sum(t.values())
+    if not t or z <= 0:
+        raise ValueError(
+            f"no overlap between targets {sorted(targets)} and groups "
+            f"present {sorted(avail)}"
+        )
+    t = {g: v / z for g, v in t.items()}
+    scale = min(avail[g] / t[g] for g in t)  # binding group -> rate 1.0
+    return {g: (scale * t[g]) / avail[g] for g in t}
+
+
+def mix_by_tokens(
+    df: DataFrame,
+    targets: dict[str, float],
+    *,
+    weight_col: str = "n_tok",
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic token-weighted source mixing: ``mix_rates`` then
+    ``stratified_sample``. Per-doc hash selection is unbiased in tokens
+    (selection is independent of the weight), so the realized token mix
+    matches the target in expectation with relative error shrinking as
+    1/sqrt(docs-per-group); membership stays a pushed-down filter that
+    is reproducible at any parallelism. Groups not in ``targets`` are
+    dropped (rate 0)."""
+    rates = mix_rates(df, targets, weight_col=weight_col, group_col=group_col)
+    return stratified_sample(
+        df, rates, group_col=group_col, key_col=key_col, default=0.0, salt=salt
+    )
 
 
 def hash_split(

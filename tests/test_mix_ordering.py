@@ -1,0 +1,111 @@
+"""Token-weighted source mixing and deterministic shuffle/sharding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from autoprepad_spark.operators.ordering import (
+    ORDER_COL,
+    assign_shards,
+    training_order,
+)
+from autoprepad_spark.operators.sampling import mix_by_tokens, mix_rates
+
+
+def test_mix_rates_hand_example(spark):
+    # A has 1000 tokens, B has 3000; a 50/50 target binds on A:
+    # scale = min(1000/.5, 3000/.5) = 2000 -> A keeps 1.0, B keeps 1/3
+    df = spark.createDataFrame(
+        [("a1", "A", 400), ("a2", "A", 600), ("b1", "B", 3000)],
+        ["doc_id", "source", "n_tok"],
+    )
+    rates = mix_rates(df, {"A": 0.5, "B": 0.5})
+    assert rates["A"] == pytest.approx(1.0)
+    assert rates["B"] == pytest.approx(1 / 3)
+
+    with pytest.raises(ValueError):
+        mix_rates(df, {"Z": 1.0})
+
+
+def test_mix_by_tokens_realizes_target(tokens_df):
+    targets = {"web": 0.5, "books": 0.3, "code": 0.2}
+    mixed = mix_by_tokens(tokens_df, targets)
+    got = {
+        r["source"]: r["w"]
+        for r in mixed.groupBy("source").agg(F.sum("n_tok").alias("w")).collect()
+    }
+    # untargeted sources dropped entirely
+    assert set(got) == set(targets)
+    total = sum(got.values())
+    for s, frac in targets.items():
+        assert got[s] / total == pytest.approx(frac, rel=0.1)
+    # binding source is kept whole (rate 1.0 -> all its tokens survive)
+    rates = mix_rates(tokens_df, targets)
+    binding = max(rates, key=rates.get)
+    assert rates[binding] == pytest.approx(1.0)
+    orig = (
+        tokens_df.filter(F.col("source") == binding)
+        .agg(F.sum("n_tok")).collect()[0][0]
+    )
+    assert got[binding] == orig
+
+
+def test_mix_is_parallelism_independent(tokens_df):
+    targets = {"web": 0.6, "wiki": 0.4}
+    a = mix_by_tokens(tokens_df, targets)
+    b = mix_by_tokens(tokens_df.repartition(17), targets)
+    assert a.count() == b.count()
+    assert a.select("doc_id").exceptAll(b.select("doc_id")).count() == 0
+
+
+def test_assign_shards_stable_balanced_covering(tokens_df):
+    n = 16
+    sh = assign_shards(tokens_df, n, seed=5)
+    counts = {r["shard"]: r["count"] for r in sh.groupBy("shard").count().collect()}
+    assert set(counts) == set(range(n))            # covering
+    mean = sum(counts.values()) / n
+    assert all(abs(c - mean) / mean < 0.15 for c in counts.values())  # uniform
+    # bit-stable across input partitioning
+    sh2 = assign_shards(tokens_df.repartition(7), n, seed=5)
+    assert sh.select("doc_id", "shard").exceptAll(
+        sh2.select("doc_id", "shard")
+    ).count() == 0
+    # a different seed gives a different (independent) assignment
+    sh3 = assign_shards(tokens_df, n, seed=6)
+    moved = (
+        sh.select("doc_id", "shard")
+        .join(sh3.select("doc_id", F.col("shard").alias("s3")), "doc_id")
+        .filter("shard != s3")
+        .count()
+    )
+    assert moved > 0
+
+
+def test_training_order_is_total_and_deterministic(tokens_df):
+    """Output partitions are internally sorted with non-overlapping,
+    increasing ranges — so concatenating them in partition order IS the
+    global order by shuffle key, regardless of input partitioning."""
+
+    def partition_ranges(df):
+        def stats(it):
+            rows = [r[ORDER_COL] for r in it]
+            if rows:
+                yield (rows == sorted(rows), min(rows), max(rows), len(rows))
+
+        return (
+            training_order(df, 8, seed=3)
+            .select(ORDER_COL)
+            .rdd.mapPartitions(stats)
+            .collect()
+        )
+
+    a = partition_ranges(tokens_df)
+    b = partition_ranges(tokens_df.repartition(13))
+    for ranges in (a, b):
+        assert all(is_sorted for is_sorted, *_ in ranges)
+        for (_, _, hi1, _), (_, lo2, _, _) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2  # ranges non-overlapping, in partition order
+    # same total row count and same global extremes at both partitionings
+    assert sum(n for *_, n in a) == sum(n for *_, n in b) == tokens_df.count()
+    assert (a[0][1], a[-1][2]) == (b[0][1], b[-1][2])
