@@ -832,9 +832,16 @@ def q_grouped_robust(spark, sf):
 
 def q_corpus_pipeline(spark, sf):
     """End-to-end training-data pipeline composition: exact dedup (keep
-    the lowest doc_id per normalized text) -> quality filter (length +
+    the lowest doc_id per normalized text) -> benchmark decontamination
+    (3-gram overlap vs eval excerpts deterministically drawn from every
+    25th doc — the GPT-3-style check; the excerpt's source doc and its
+    near-verbatim copies get dropped) -> quality filter (length +
     punctuation heuristics) -> greedy context-window packing. One
     oracle-checked query proving the stages compose."""
+    from autoprepad_spark.operators.contamination import (
+        contamination_report,
+        decontaminate,
+    )
     from autoprepad_spark.operators.dedup import normalize_text
     from autoprepad_spark.operators.packing import chunk_stats, pack_sequences
 
@@ -846,6 +853,15 @@ def q_corpus_pipeline(spark, sf):
         .select("doc_id")
     )
     surv = d.join(keep, "doc_id")
+    # held-out "benchmark": words 3..12 of every 25th doc (deterministic)
+    bench = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(
+            F.slice(F.split(normalize_text("text"), " "), 3, 10), " "
+        ).alias("text"),
+    )
+    rep = contamination_report(surv, bench, k=3, min_overlap=0.5)
+    clean = decontaminate(surv, rep)
     # quality gate: non-trivial length, bounded punctuation ratio
     punct = F.size(F.split(F.col("text"), r"[^A-Za-z0-9\s]")) - 1
     ok = (
@@ -853,7 +869,7 @@ def q_corpus_pipeline(spark, sf):
         & (F.col("n_chars") <= 10000)
         & ((punct / F.greatest(F.col("n_chars"), F.lit(1))) <= 0.2)
     )
-    filtered = surv.filter(ok)
+    filtered = clean.filter(ok)
     packed = pack_sequences(
         filtered, budget=2000, len_col="n_chars", group_col="source",
         order_col="doc_id",
@@ -1824,10 +1840,31 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, md5({_NORM.format(c='text')}) AS h FROM documents)
               GROUP BY h
             ),
+            surv AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+            bw AS (
+              SELECT doc_id AS bench_id,
+                     (string_split({_NORM.format(c='text')}, ' '))[3:12] AS w
+              FROM documents WHERE doc_id % 25 = 0
+            ),
+            bsh AS (SELECT DISTINCT bench_id, array_to_string(w[i:i+2], ' ') AS s
+                    FROM bw, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)),
+            bsizes AS (SELECT bench_id, count(*) AS n_sh FROM bsh GROUP BY 1),
+            dw AS (SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w
+                   FROM surv),
+            dsh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+                    FROM dw, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)),
+            contaminated AS (
+              SELECT DISTINCT h.doc_id
+              FROM (SELECT d.doc_id, b.bench_id, count(*) AS n_hits
+                    FROM dsh d JOIN bsh b USING (s) GROUP BY 1, 2) h
+              JOIN bsizes s USING (bench_id)
+              WHERE h.n_hits / s.n_sh >= 0.5
+            ),
             filt AS (
               SELECT d.source, d.doc_id, d.n_chars
-              FROM documents d JOIN keep USING (doc_id)
-              WHERE d.n_chars BETWEEN 50 AND 10000
+              FROM surv d
+              WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+                AND d.n_chars BETWEEN 50 AND 10000
                 AND len(regexp_extract_all(d.text, '[^A-Za-z0-9\\s]'))
                     / greatest(d.n_chars, 1) <= 0.2
             ),
