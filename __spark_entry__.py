@@ -493,12 +493,34 @@ def q_simhash_dedup(spark, sf):
 
 
 def q_text_profile(spark, sf):
+    """Text features over documents, plus the PII scrubbing pass: PII is
+    deterministically injected (cadenced on doc_id, so counts are
+    non-trivial) and detection counts + redacted length are oracle-checked
+    byte-exactly against DuckDB running the SAME RE2-subset patterns."""
+    from autoprepad_spark.operators.pii import pii_count, redact_pii
+
     d = _t(spark, sf, "documents")
     prof = TX.text_profile(d)
+    inj = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" host 10.0.0.1"))
+        .otherwise(F.lit("")),
+    )
     return prof.select(
         "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
         "punct_ratio", "mean_word_len", "quality", "lang_pred", "fingerprint",
+        pii_count(inj, "email").cast("long").alias("n_email"),
+        pii_count(inj, "phone").cast("long").alias("n_phone"),
+        pii_count(inj, "ipv4").cast("long").alias("n_ipv4"),
+        F.length(redact_pii(inj)).cast("long").alias("len_redacted"),
     )
 
 
@@ -1240,6 +1262,15 @@ def oracle_sql() -> dict[str, str]:
     from autoprepad_spark.functions.sketches import hll_oracle_sql
 
     stop = {k: "|".join(v) for k, v in TX.LANG_STOPWORDS.items()}
+    from autoprepad_spark.operators.pii import PII_PATTERNS, REDACTION_TOKENS
+
+    pii = PII_PATTERNS
+    pii_red = "inj"  # chained typed redaction, SAME order as redact_pii
+    for _k in PII_PATTERNS:
+        pii_red = (
+            f"regexp_replace({pii_red}, '{PII_PATTERNS[_k]}', "
+            f"'{REDACTION_TOKENS[_k]}', 'g')"
+        )
     hll_melt = " UNION ALL ".join(
         f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS v FROM lineitem"
         for c in _HLL_COLS
@@ -1566,9 +1597,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_profile": f"""
             WITH base AS (
-              SELECT doc_id, text, {_NORM.format(c='text')} AS nt FROM documents
+              SELECT doc_id, text, {_NORM.format(c='text')} AS nt,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' contact user' || doc_id || '@example.com'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN ' call 555-123-4567' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0
+                             THEN ' host 10.0.0.1' ELSE '' END AS inj
+              FROM documents
             ), feat AS (
-              SELECT doc_id, text, nt,
+              SELECT doc_id, text, nt, inj,
                      CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
                      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
@@ -1595,7 +1635,11 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
                         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
                         ELSE 'de' END AS lang_pred,
-                   md5(nt) AS fingerprint
+                   md5(nt) AS fingerprint,
+                   len(regexp_extract_all(inj, '{pii['email']}'))::BIGINT AS n_email,
+                   len(regexp_extract_all(inj, '{pii['phone']}'))::BIGINT AS n_phone,
+                   len(regexp_extract_all(inj, '{pii['ipv4']}'))::BIGINT AS n_ipv4,
+                   length({pii_red})::BIGINT AS len_redacted
             FROM feat
         """,
         "drift_psi": """
