@@ -855,7 +855,7 @@ def q_grouped_robust(spark, sf):
 def q_corpus_pipeline(spark, sf):
     """End-to-end training-data pipeline composition: exact dedup (keep
     the lowest doc_id per normalized text) -> benchmark decontamination
-    (3-gram overlap vs eval excerpts deterministically drawn from every
+    (5-gram overlap vs eval excerpts deterministically drawn from every
     25th doc — the GPT-3-style check; the excerpt's source doc and its
     near-verbatim copies get dropped) -> quality filter (length +
     punctuation heuristics) -> greedy context-window packing. One
@@ -882,7 +882,7 @@ def q_corpus_pipeline(spark, sf):
             F.slice(F.split(normalize_text("text"), " "), 3, 10), " "
         ).alias("text"),
     )
-    rep = contamination_report(surv, bench, k=3, min_overlap=0.5)
+    rep = contamination_report(surv, bench, k=5, min_overlap=0.5)
     clean = decontaminate(surv, rep)
     # quality gate: non-trivial length, bounded punctuation ratio
     punct = F.size(F.split(F.col("text"), r"[^A-Za-z0-9\s]")) - 1
@@ -1890,13 +1890,13 @@ def oracle_sql() -> dict[str, str]:
                      (string_split({_NORM.format(c='text')}, ' '))[3:12] AS w
               FROM documents WHERE doc_id % 25 = 0
             ),
-            bsh AS (SELECT DISTINCT bench_id, array_to_string(w[i:i+2], ' ') AS s
-                    FROM bw, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)),
+            bsh AS (SELECT DISTINCT bench_id, array_to_string(w[i:i+4], ' ') AS s
+                    FROM bw, unnest(generate_series(1, greatest(len(w) - 4, 1))) t(i)),
             bsizes AS (SELECT bench_id, count(*) AS n_sh FROM bsh GROUP BY 1),
             dw AS (SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w
                    FROM surv),
-            dsh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
-                    FROM dw, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)),
+            dsh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS s
+                    FROM dw, unnest(generate_series(1, greatest(len(w) - 4, 1))) t(i)),
             contaminated AS (
               SELECT DISTINCT h.doc_id
               FROM (SELECT d.doc_id, b.bench_id, count(*) AS n_hits

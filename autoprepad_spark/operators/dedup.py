@@ -87,14 +87,26 @@ def exact_duplicates(
 
 
 def word_shingles(text_col: str, k: int = 3) -> F.Column:
-    """Distinct word k-shingles as an array column (JVM-side, no UDF)."""
+    """Distinct word k-shingles as an array column (JVM-side, no UDF).
+
+    The split/normalize is bound ONCE per row through a one-element
+    outer ``transform`` whose lambda variable the shingle loop
+    references: naively writing ``slice(words, i, k)`` inside the loop
+    re-evaluates the regex normalization per shingle (interpreted
+    higher-order lambdas get no common-subexpression elimination),
+    which measured ~5x slower end-to-end on shingle-heavy plans.
+    """
     words = F.split(normalize_text(text_col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, k)))
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(
-        F.array(F.concat_ws(" ", words))
-    )
+
+    def body(ws: F.Column) -> F.Column:
+        n = F.size(ws)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, k)))
+        return F.when(n >= k, F.array_distinct(sh)).otherwise(
+            F.array(F.concat_ws(" ", ws))
+        )
+
+    return F.transform(F.array(words), body)[0]
 
 
 def _shingle_hashes(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:

@@ -168,10 +168,16 @@ def duplicate_line_fraction(col: Column | str) -> Column:
     compare distinct-count to count. 0.0 for docs with <= 1 line."""
     c = F.col(col) if isinstance(col, str) else col
     lines = F.filter(F.split(c, "\n"), lambda x: F.length(F.trim(x)) > 0)
-    n = F.size(lines)
-    return F.when(
-        n > 1, (n - F.size(F.array_distinct(lines))) / n.cast("double")
-    ).otherwise(F.lit(0.0))
+
+    def body(ls: Column) -> Column:
+        # bind the split/filter ONCE per row (lambda var reference) —
+        # naming it in the expression tree re-evaluates it per mention
+        n = F.size(ls)
+        return F.when(
+            n > 1, (n - F.size(F.array_distinct(ls))) / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(lines), body)[0]
 
 
 def top_bigram_fraction(col: Column | str) -> Column:
@@ -183,16 +189,27 @@ def top_bigram_fraction(col: Column | str) -> Column:
     from autoprepad_spark.operators.dedup import normalize_text
 
     words = F.split(normalize_text(col if isinstance(col, str) else col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
-    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 2)))
-    distinct = F.array_distinct(bigrams)
-    counts = F.transform(
-        distinct, lambda d: F.size(F.filter(bigrams, lambda b: b == d))
-    )
-    return F.when(
-        n > 2, F.array_max(counts) / F.size(bigrams).cast("double")
-    ).otherwise(F.lit(0.0))
+
+    def with_words(ws: Column) -> Column:
+        n = F.size(ws)
+        idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+        bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 2)))
+
+        def with_bigrams(bg: Column) -> Column:
+            # bg is bound once; writing `bigrams` inside the counts
+            # lambda would rebuild the bigram array (and re-split the
+            # text) per DISTINCT bigram — O(n^2) regex evals per doc
+            counts = F.transform(
+                F.array_distinct(bg),
+                lambda d: F.size(F.filter(bg, lambda b: b == d)),
+            )
+            return F.when(
+                n > 2, F.array_max(counts) / F.size(bg).cast("double")
+            ).otherwise(F.lit(0.0))
+
+        return F.transform(F.array(bigrams), with_bigrams)[0]
+
+    return F.transform(F.array(words), with_words)[0]
 
 
 def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
