@@ -519,3 +519,87 @@ def keep_one_per_cluster(
         F.col("node").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def split_paragraphs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n\s*\n",
+) -> DataFrame:
+    """(id, para_idx, para) — one row per non-blank paragraph, with the
+    paragraph's 0-based position in its document. One posexplode, no
+    shuffle; the unit of line/paragraph-level dedup (CCNet dedupes
+    lines, Dolma paragraphs — same shape, different ``sep``)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias(
+                "para_idx", "para"
+            ),
+        )
+        .filter(F.length(F.trim("para")) > 0)
+    )
+
+
+def strip_duplicate_paragraphs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n\s*\n",
+    keep: str = "first",
+) -> DataFrame:
+    """Cross-document paragraph-level dedup: every paragraph (normalized
+    form) survives in exactly ONE document — the one with the smallest
+    (id, position) — and repeats elsewhere are removed; documents are
+    rebuilt from their surviving paragraphs with a canonical "\\n\\n"
+    joiner (blank paragraphs do not survive). keep="none" instead drops
+    EVERY occurrence of any paragraph seen in more than one place (the
+    aggressive boilerplate rule).
+
+    The step CCNet applies to lines and Dolma to paragraphs before
+    training. Scale shape: two unavoidable shuffles — paragraphs hash
+    to their identity key for the keep decision (row_number window per
+    md5 group; group sizes are bounded by a paragraph's global dup
+    count, and the window sorts WITHIN groups only), then surviving
+    paragraphs shuffle back to their document for ordered reassembly.
+    Per-doc state in the rebuild is the document itself (bounded by the
+    corpus's max doc size). Nothing is collected; both stages are plain
+    keyed exchanges that AQE balances.
+    """
+    paras = split_paragraphs(df, text_col=text_col, id_col=id_col, sep=sep)
+    h = F.md5(normalize_text("para"))
+    w = W.partitionBy("_h").orderBy(F.col(id_col), F.col("para_idx"))
+    marked = paras.withColumn("_h", h).withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    if keep == "first":
+        kept = marked.filter(F.col("_rk") == 1)
+    elif keep == "none":
+        wc = W.partitionBy("_h")
+        kept = marked.withColumn("_n", F.count(F.lit(1)).over(wc)).filter(
+            F.col("_n") == 1
+        )
+    else:  # pragma: no cover - guarded API
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("para_idx", "para"))
+            ).alias("_ps")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                "\n\n", F.transform("_ps", lambda s: s["para"])
+            ).alias(text_col),
+        )
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )
