@@ -134,19 +134,28 @@ def run_headline() -> None:
     qs = E.queries()
     timings: dict[str, float] = {}
     total = 0.0
+    # min of REPEATS runs per query: this shared VM's instantaneous CPU
+    # speed swings 2-4x between (and within) sessions, so a single
+    # sample confounds plan cost with neighbor noise; the minimum is the
+    # standard steady-state estimator. Scans stay cold per repeat
+    # (clearCache between runs) — only process-level state is warm.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
-        # drop anything a query left cached: every query is measured
-        # standalone (its own cache fills are inside its timing), and
-        # leaked cache blocks otherwise pile into old-gen GC pressure
-        # that taxes whichever query happens to run later in the session
-        spark.catalog.clearCache()
+        best, n = None, 0
+        for _ in range(max(repeats, 1)):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # drop anything a query left cached: every query is measured
+            # standalone (its own cache fills are inside its timing), and
+            # leaked cache blocks otherwise pile into old-gen GC pressure
+            # that taxes whichever query happens to run later
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
     sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
     print(json.dumps({
@@ -162,6 +171,7 @@ def run_headline() -> None:
         # calling a cross-session delta a regression
         "calib_sec": _host_calibration(),
         "spark_calib_sec": spark_calib,
+        "repeats_min_of": repeats,
     }))
 
 
