@@ -438,7 +438,8 @@ def q_minhash_dedup(spark, sf):
     # (dup-injected pairs), so skip the candidate-side shuffle the
     # AQE-resilient library default would plan
     out = DD.verify_pairs_jaccard(
-        docs, cands, threshold=0.9, shingles=sh, broadcast_pairs=True
+        docs, cands, threshold=0.9, shingles=sh, broadcast_pairs=True,
+        assume_distinct=True,  # sh IS _shingle_hashes output: per-doc distinct
     )
     out = out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).cache()
     out.count()
@@ -467,7 +468,8 @@ def q_dup_clusters(spark, sf):
         sigs, id_col="doc_id", num_hashes=32, max_bucket_size=None
     )
     pairs = DD.verify_pairs_jaccard(
-        docs, cands, threshold=0.9, shingles=sh, broadcast_pairs=True
+        docs, cands, threshold=0.9, shingles=sh, broadcast_pairs=True,
+        assume_distinct=True,
     )
     out = DD.dup_cluster_sizes(pairs).cache()
     out.count()

@@ -228,6 +228,7 @@ def verify_pairs_jaccard(
     threshold: float = 0.9,
     shingles: DataFrame | None = None,
     broadcast_pairs: bool = False,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs: (id_a, id_b, jaccard).
 
@@ -241,13 +242,20 @@ def verify_pairs_jaccard(
     ``broadcast_pairs=True`` pins the broadcast hint for callers that
     KNOW the set is tiny and want to skip the candidate-side shuffle.
     ``shingles``: precomputed (_id, _h) frame to share the index with
-    the candidate generator.
+    the candidate generator. When it comes from ``_shingle_hashes`` the
+    rows are already per-doc distinct (``word_shingles`` applies
+    ``array_distinct`` before the explode), so pass
+    ``assume_distinct=True`` to skip re-deduplicating — that distinct is
+    a full extra shuffle of the LARGEST intermediate in the pipeline,
+    and the only thing it guards is intra-doc 61-bit hash collisions
+    (~1e-13 per doc), a risk class the hash-based intersection count
+    already accepts cross-doc.
     """
-    base = (
-        shingles if shingles is not None
-        else _shingle_hashes(df, text_col, id_col, k_shingle)
-    )
-    sh = base.distinct()
+    if shingles is None:
+        sh = _shingle_hashes(df, text_col, id_col, k_shingle)
+    else:
+        # only an EXTERNAL index of unknown provenance needs the dedup
+        sh = shingles if assume_distinct else shingles.distinct()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("_id").alias("id_a"), F.col("_h"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_h"))
@@ -285,8 +293,12 @@ def jaccard_pairs(
     max_doc_freq drops ubiquitous shingles (stopword n-grams) before the
     self-join — the standard skew guard; without it one hot shingle
     produces df^2 pair rows.
+
+    No (id, h) re-distinct is needed: ``word_shingles`` emits per-doc
+    distinct shingles, so the index is distinct by construction (see
+    ``verify_pairs_jaccard``'s assume_distinct note).
     """
-    sh = _shingle_hashes(df, text_col, id_col, k_shingle).distinct()
+    sh = _shingle_hashes(df, text_col, id_col, k_shingle)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_doc_freq is not None:
         freq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("df"))
