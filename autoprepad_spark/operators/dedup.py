@@ -615,3 +615,124 @@ def strip_duplicate_paragraphs(
         .join(rebuilt, id_col, "left")
         .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     )
+
+
+def token_windows(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+) -> DataFrame:
+    """(id, pos, whash) — one row per length-``window`` token window
+    (0-based start position, 64-bit hash of the space-joined window).
+
+    The unit of exact-substring dedup (Lee et al. 2022's ExactSubstr,
+    arXiv:2107.06499): a verbatim overlap of >= window tokens between two
+    documents shows up as an identical window hash at some position in
+    each. All window hashing happens inside ONE whole-stage-codegen
+    projection (transform over a sequence, the token array bound once —
+    see word_shingles' lambda-binding note); the explode emits
+    ``n_tokens - window + 1`` rows per doc, which is the inherent index
+    size of this algorithm, not an implementation artifact.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+
+    def body(ts: F.Column) -> F.Column:
+        n = F.size(ts)
+        idx = F.sequence(F.lit(1), n - F.lit(window - 1))
+        return F.when(
+            n >= window,
+            F.transform(
+                idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ts, i, window)))
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    arr = F.transform(F.array(toks), body)[0]
+    return df.select(
+        F.col(id_col).alias("_id"), F.posexplode(arr).alias("_pos", "_wh")
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    keep: str = "first",
+) -> DataFrame:
+    """Remove verbatim >=``window``-token spans that occur more than once
+    in the corpus (Lee et al. 2022 ExactSubstr, re-expressed for Spark:
+    the suffix array is replaced by a distributed sliding-window-hash
+    index, the standard scale-out approximation — it finds exactly the
+    duplicated spans of length >= window, at window-token resolution).
+
+    keep="first": each duplicated window survives only at its globally
+    smallest (id, position) occurrence; every other occurrence's token
+    span is deleted. keep="none" deletes every occurrence. Documents are
+    rebuilt from their surviving tokens (single-space joined, i.e. in
+    normalize_text's canonical form — same contract as
+    strip_duplicate_paragraphs); docs shorter than ``window`` tokens pass
+    through (normalized) untouched.
+
+    Scale shape: the window index is |tokens| rows of (id, pos, 8-byte
+    hash) — the algorithm's inherent cost. Duplicate detection is ONE
+    map-side-combined hash agg on the window hash (shuffle carries only
+    per-hash partials); only *duplicated* occurrences (typically a tiny
+    fraction) reach the span-expansion explode (x window rows) and the
+    anti-join; the rebuild shuffles surviving tokens once, keyed by doc,
+    with per-doc state bounded by the doc itself. No driver-side state,
+    no broadcast of corpus-sized frames, every stage AQE-balanced.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    wins = token_windows(df, text_col=text_col, id_col=id_col, window=window)
+    # one agg: occurrence count + the surviving occurrence per hash
+    agg = wins.groupBy("_wh").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min(F.struct("_id", "_pos")).alias("_keep"),
+    )
+    dup = agg.filter(F.col("_n") > 1)
+    occ = wins.join(dup, "_wh")
+    if keep == "first":
+        occ = occ.filter(
+            ~(
+                (F.col("_id") == F.col("_keep._id"))
+                & (F.col("_pos") == F.col("_keep._pos"))
+            )
+        )
+    # token positions covered by any removed occurrence
+    cov = (
+        occ.select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("_pos"), F.col("_pos") + F.lit(window - 1))
+            ).alias("_cp"),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(normalize_text(text_col), " ")).alias(
+            "_tp", "_tok"
+        ),
+    )
+    kept = toks.join(
+        cov.withColumnRenamed("_cp", "_tp"), ["_id", "_tp"], "left_anti"
+    )
+    rebuilt = (
+        kept.groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_tp", "_tok"))).alias("_ts"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.concat_ws(" ", F.transform("_ts", lambda s: s["_tok"])).alias(
+                text_col
+            ),
+        )
+    )
+    return (
+        df.drop(text_col)
+        .join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )

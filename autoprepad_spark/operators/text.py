@@ -180,44 +180,123 @@ def duplicate_line_fraction(col: Column | str) -> Column:
     return F.transform(F.array(lines), body)[0]
 
 
-def top_bigram_fraction(col: Column | str) -> Column:
-    """Fraction of the doc's word-bigram occurrences taken by its single
-    most frequent bigram — high values mean templated/repetitive text
-    (the Gopher rep-2 rule). Expression-only: build the bigram array,
-    then aggregate max-count via a nested TRANSFORM/FILTER comparison —
-    no explode, no shuffle, evaluated row-local."""
+def top_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Fraction of the doc's word-n-gram occurrences taken by its single
+    most frequent n-gram — high values mean templated/repetitive text
+    (the Gopher rep-n rule; n=2..4 in the paper). Expression-only: build
+    the n-gram array, then aggregate max-count via a nested
+    TRANSFORM/FILTER comparison — no explode, no shuffle, evaluated
+    row-local. O(grams x distinct) per doc, i.e. bounded by the doc.
+    0.0 for docs with <= n words."""
     from autoprepad_spark.operators.dedup import normalize_text
 
     words = F.split(normalize_text(col if isinstance(col, str) else col), " ")
 
     def with_words(ws: Column) -> Column:
-        n = F.size(ws)
-        idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
-        bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 2)))
+        nw = F.size(ws)
+        idx = F.sequence(F.lit(1), F.greatest(nw - (n - 1), F.lit(1)))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
 
-        def with_bigrams(bg: Column) -> Column:
-            # bg is bound once; writing `bigrams` inside the counts
-            # lambda would rebuild the bigram array (and re-split the
-            # text) per DISTINCT bigram — O(n^2) regex evals per doc
+        def with_grams(bg: Column) -> Column:
+            # bg is bound once; writing `grams` inside the counts
+            # lambda would rebuild the n-gram array (and re-split the
+            # text) per DISTINCT n-gram — O(n^2) regex evals per doc
             counts = F.transform(
                 F.array_distinct(bg),
                 lambda d: F.size(F.filter(bg, lambda b: b == d)),
             )
             return F.when(
-                n > 2, F.array_max(counts) / F.size(bg).cast("double")
+                nw > n, F.array_max(counts) / F.size(bg).cast("double")
             ).otherwise(F.lit(0.0))
 
-        return F.transform(F.array(bigrams), with_bigrams)[0]
+        return F.transform(F.array(grams), with_grams)[0]
 
     return F.transform(F.array(words), with_words)[0]
 
 
+def top_bigram_fraction(col: Column | str) -> Column:
+    """Gopher rep-2: see top_ngram_fraction."""
+    return top_ngram_fraction(col, 2)
+
+
+def dup_ngram_char_fraction(col: Column | str, n: int = 5) -> Column:
+    """Fraction of the doc's characters attributable to REPEATED
+    word-n-grams: for every distinct n-gram occurring more than once,
+    its non-first occurrences contribute their character length; the
+    total is divided by the doc's (normalized) character count and
+    clipped at 1.0. This is the RedPajama/Dolma formulation of Gopher's
+    dup-n-gram signal (n=5..10 in the paper) — overlap-agnostic,
+    deterministic, and cheap enough to evaluate row-local.
+
+    Expression-only: n-gram array built once, per-distinct counts via
+    nested TRANSFORM/FILTER, char mass via one zip_with + aggregate.
+    Zero shuffle; O(grams x distinct) per doc. 0.0 for docs with <= n
+    words."""
+    from autoprepad_spark.operators.dedup import normalize_text
+
+    norm = normalize_text(col if isinstance(col, str) else col)
+
+    def with_text(nt: Column) -> Column:
+        ws = F.split(nt, " ")
+
+        def with_words(wsb: Column) -> Column:
+            nw = F.size(wsb)
+            idx = F.sequence(F.lit(1), F.greatest(nw - (n - 1), F.lit(1)))
+            grams = F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(wsb, i, n))
+            )
+
+            def with_grams(bg: Column) -> Column:
+                uniq = F.array_distinct(bg)
+
+                def with_uniq(uq: Column) -> Column:
+                    counts = F.transform(
+                        uq, lambda d: F.size(F.filter(bg, lambda b: b == d))
+                    )
+                    dup_chars = F.aggregate(
+                        F.zip_with(
+                            uq,
+                            counts,
+                            lambda g, c: F.when(
+                                c > 1, (c - 1) * F.length(g)
+                            ).otherwise(F.lit(0)),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    return F.when(
+                        nw > n,
+                        F.least(
+                            dup_chars
+                            / F.greatest(F.length(nt), F.lit(1)).cast("double"),
+                            F.lit(1.0),
+                        ),
+                    ).otherwise(F.lit(0.0))
+
+                return F.transform(F.array(uniq), with_uniq)[0]
+
+            return F.transform(F.array(grams), with_grams)[0]
+
+        return F.transform(F.array(ws), with_words)[0]
+
+    return F.transform(F.array(norm), with_text)[0]
+
+
 def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc repetition signals (dup-line fraction + top-bigram
-    fraction) — the quality-gate inputs a corpus pipeline thresholds on.
+    """Per-doc repetition signals — the Gopher quality-gate inputs a
+    corpus pipeline thresholds on: dup-line fraction, top-2/3/4-gram
+    occurrence fractions, and dup-5/10-gram character fractions.
     Row-local expressions only: scales as a pure map, no shuffle."""
     return df.select(
         "*",
         F.round(duplicate_line_fraction(text_col), 6).alias("dup_line_frac"),
-        F.round(top_bigram_fraction(text_col), 6).alias("top_bigram_frac"),
+        F.round(top_ngram_fraction(text_col, 2), 6).alias("top_bigram_frac"),
+        F.round(top_ngram_fraction(text_col, 3), 6).alias("top_3gram_frac"),
+        F.round(top_ngram_fraction(text_col, 4), 6).alias("top_4gram_frac"),
+        F.round(dup_ngram_char_fraction(text_col, 5), 6).alias(
+            "dup_5gram_char_frac"
+        ),
+        F.round(dup_ngram_char_fraction(text_col, 10), 6).alias(
+            "dup_10gram_char_frac"
+        ),
     )

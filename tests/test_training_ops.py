@@ -295,3 +295,55 @@ def test_repetition_profile(spark):
     assert got[2]["top_bigram_frac"] == round(1 / 3, 6)  # all bigrams distinct
     assert got[3]["top_bigram_frac"] == 1.0     # "spam spam" is every bigram
     assert got[4]["dup_line_frac"] == 0.0 and got[4]["top_bigram_frac"] == 0.0
+
+
+def test_ngram_repetition_signals_match_python_oracle(spark):
+    """top_ngram_fraction / dup_ngram_char_fraction vs a direct Python
+    recount on a seeded corpus including engineered repetition."""
+    import random
+
+    from autoprepad_spark.operators.text import (
+        dup_ngram_char_fraction,
+        top_ngram_fraction,
+    )
+
+    rnd = random.Random(11)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [(i, " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(3, 40))))
+            for i in range(30)]
+    rows.append((100, "a b c d e f a b c d e f a b c d e f"))  # heavy 5-gram dups
+    rows.append((101, "x y"))                                   # shorter than n
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_top(text, n):
+        ws = text.lower().split()
+        if len(ws) <= n:
+            return 0.0
+        grams = [" ".join(ws[i:i + n]) for i in range(max(len(ws) - n + 1, 1))]
+        best = max(grams.count(g) for g in set(grams))
+        return round(best / len(grams), 6)
+
+    def py_dup_chars(text, n):
+        ws = text.lower().split()
+        if len(ws) <= n:
+            return 0.0
+        grams = [" ".join(ws[i:i + n]) for i in range(max(len(ws) - n + 1, 1))]
+        dup = sum((grams.count(g) - 1) * len(g) for g in set(grams)
+                  if grams.count(g) > 1)
+        return round(min(dup / max(len(" ".join(ws)), 1), 1.0), 6)
+
+    out = df.select(
+        "doc_id", "text",
+        *[F.round(top_ngram_fraction("text", n), 6).alias(f"top{n}")
+          for n in (2, 3, 4)],
+        *[F.round(dup_ngram_char_fraction("text", n), 6).alias(f"dup{n}")
+          for n in (5, 10)],
+    ).collect()
+    for r in out:
+        for n in (2, 3, 4):
+            assert r[f"top{n}"] == py_top(r["text"], n), (r["doc_id"], n)
+        for n in (5, 10):
+            assert r[f"dup{n}"] == py_dup_chars(r["text"], n), (r["doc_id"], n)
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[100]["dup5"] > 0.5      # engineered repetition is caught
+    assert by_id[101]["dup5"] == 0.0
