@@ -313,3 +313,92 @@ def embedding_near_duplicates(
         pairs.select("id_a", "id_b", cosine("_va", "_vb").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_duplicates(
+    corpus: DataFrame,
+    *,
+    eps: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    cell_method: str = "sample",
+    max_cell_size: int = 100_000,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    embedding — cluster the corpus with a coarse quantizer, then inside
+    each cluster greedily drop every vector within cosine ``eps`` of an
+    already-kept one, scanning in descending similarity-to-centroid
+    order (ties broken by id — fully deterministic).
+
+    Returns (id, cell, centroid_sim, keep): ``keep=false`` rows are the
+    semantic duplicates a corpus pipeline filters out. No reference
+    counterpart (AutoPrepAD has no embedding ops); this is the published
+    algorithm the LLM-data community uses between exact/MinHash dedup
+    and quality filtering.
+
+    Scale shape: one pandas-UDF centroid assignment (numpy matmul per
+    Arrow batch), ONE shuffle keyed by cell, then per-cell grouped-map
+    work. The per-cell greedy is O(m * kept) vectorized numpy — in the
+    paper's regime k is chosen so cells hold ~10^4-10^5 vectors, which
+    is exactly what ``n_cells`` controls; cells larger than
+    ``max_cell_size`` raise (pick a larger n_cells) instead of silently
+    OOMing an executor. Cluster count scales with corpus size, cells
+    process in parallel, nothing corpus-sized is collected or broadcast.
+    """
+    if not 0.0 < eps <= 1.0:
+        raise ValueError(f"eps must be in (0, 1], got {eps}")
+    assigned, centroids = ivf_build(
+        corpus.select(id_col, vec_col),
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        method=cell_method,
+    )
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    out_schema = T.StructType(
+        [
+            next(f for f in corpus.schema.fields if f.name == id_col),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("centroid_sim", T.DoubleType()),
+            T.StructField("keep", T.BooleanType()),
+        ]
+    )
+
+    def _dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m > max_cell_size:
+            raise ValueError(
+                f"semantic_duplicates cell {int(pdf['cell'].iloc[0])} holds "
+                f"{m} vectors (> max_cell_size={max_cell_size}); raise "
+                "n_cells so cells stay executor-sized"
+            )
+        vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        vecs = vecs / np.maximum(
+            np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12
+        )
+        csim = vecs @ cn[int(pdf["cell"].iloc[0])]
+        order = np.lexsort((pdf[id_col].to_numpy(), -csim))
+        kept_rows = np.zeros((0, vecs.shape[1]))
+        keep = np.zeros(m, dtype=bool)
+        for i in order:
+            if kept_rows.shape[0] == 0 or float(
+                np.max(kept_rows @ vecs[i])
+            ) < eps:
+                keep[i] = True
+                kept_rows = np.vstack([kept_rows, vecs[i]])
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cell": pdf["cell"],
+                "centroid_sim": csim,
+                "keep": keep,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(_dedup_cell, out_schema)

@@ -300,3 +300,83 @@ def repetition_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "dup_10gram_char_frac"
         ),
     )
+
+
+#: C4's default page-level blocklist is the public "bad words" list; the
+#: container has no copy, so ship a tiny deterministic placeholder and
+#: take the real list as a parameter.
+C4_DEFAULT_BADWORDS = ("lorem ipsum",)
+
+_TERMINAL_RE = r'[.!?"”]\s*$'
+
+
+def c4_clean_lines(col: Column | str, *, min_words: int = 3) -> Column:
+    """C4 line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    §2.2): keep only lines that end in a terminal punctuation mark
+    (., !, ?, closing quote), contain at least ``min_words`` words, and
+    do not mention "javascript" (case-insensitive); surviving lines are
+    trimmed and rejoined with a single newline.
+
+    Pure row-local expression (split / filter / rejoin inside one
+    whole-stage-codegen projection) — scales as a map, zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.transform(F.split(c, "\n"), lambda l: F.trim(l))
+
+    def body(ls: Column) -> Column:
+        kept = F.filter(
+            ls,
+            lambda l: l.rlike(_TERMINAL_RE)
+            & (F.size(F.split(l, r"\s+")) >= min_words)
+            & ~F.lower(l).contains("javascript"),
+        )
+        return F.array_join(kept, "\n")
+
+    return F.transform(F.array(lines), body)[0]
+
+
+def c4_page_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 3,
+    min_sentences: int = 5,
+    badwords: tuple[str, ...] = C4_DEFAULT_BADWORDS,
+) -> DataFrame:
+    """The C4 page pipeline: line cleaning (c4_clean_lines) + page-level
+    drop rules — fewer than ``min_sentences`` sentences after cleaning,
+    any blocklisted phrase, or a curly brace (code markup) anywhere on
+    the ORIGINAL page. Emits per-page diagnostics instead of silently
+    dropping, so a corpus pipeline can filter on ``c4_keep`` and audit
+    the reasons:
+
+      c4_text (cleaned), n_sentences, has_badword, has_brace, c4_keep
+
+    Sentence count = terminal-punctuation marks in the cleaned text
+    (C4's own sentence proxy). All row-local expressions; the operator
+    is a pure map over the corpus — the 100-TB plan is scan → project →
+    filter with every rule inside whole-stage codegen."""
+    cleaned = c4_clean_lines(text_col, min_words=min_words)
+    lowered = F.lower(F.col(text_col))
+    has_bad = F.lit(False)
+    for w in badwords:
+        has_bad = has_bad | lowered.contains(w.lower())
+    out = (
+        df.withColumn("c4_text", cleaned)
+        .withColumn(
+            "n_sentences",
+            F.size(
+                F.filter(
+                    F.split(F.col("c4_text"), r'\n|(?<=[.!?"”])\s+'),
+                    lambda s: s.rlike(_TERMINAL_RE),
+                )
+            ),
+        )
+        .withColumn("has_badword", has_bad)
+        .withColumn("has_brace", F.col(text_col).contains("{"))
+    )
+    return out.withColumn(
+        "c4_keep",
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_badword")
+        & ~F.col("has_brace"),
+    )
