@@ -22,7 +22,8 @@ with partitioned parquet so the same code runs in the sandbox.
 
 from autoprepad_spark.session import get_spark
 from autoprepad_spark.plans.suite import ValidationSuite
+from autoprepad_spark.plans.corpus import clean_corpus
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "ValidationSuite", "__version__"]
+__all__ = ["get_spark", "ValidationSuite", "clean_corpus", "__version__"]
