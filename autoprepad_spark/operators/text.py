@@ -380,3 +380,110 @@ def c4_page_filter(
         & ~F.col("has_badword")
         & ~F.col("has_brace"),
     )
+
+
+#: Gopher's "must contain 2 of these" stopword probe (Rae et al. 2021,
+#: arXiv:2112.11446 Table A1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021,
+    arXiv:2112.11446 Table A1 — the gate MassiveWeb applies before the
+    repetition signals in ``repetition_profile``): word-count band,
+    mean-word-length band, symbol-to-word ratio (# and ellipsis),
+    bullet-started and ellipsis-ended line fractions, fraction of words
+    with an alphabetic character, and a can't-miss stopword probe.
+
+    Emits one diagnostic column per rule plus ``gopher_keep`` so a
+    pipeline can threshold AND audit. Every signal is a row-local
+    whole-stage-codegen expression over ONE words array and ONE lines
+    array bound per row (see the lambda-binding note on word_shingles)
+    — the operator is a pure map: no shuffle, no UDF, scales linearly.
+    """
+    out = df.withColumn("_g", gopher_signals(text_col)).select(
+        "*", "_g.*"
+    ).drop("_g")
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("gopher_keep", keep)
+
+
+def gopher_signals(col: Column | str) -> Column:
+    """The seven Gopher Table-A1 document signals as ONE struct-typed
+    row-local expression (see gopher_quality_filter for semantics)."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    words = F.split(F.trim(c), r"\s+")
+
+    def with_arrays(ws: Column, ls: Column) -> Column:
+        n_words = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+            F.size(ws)
+        )
+        nw = F.greatest(n_words, F.lit(1)).cast("double")
+        mean_wl = (
+            F.aggregate(ws, F.lit(0), lambda a, w: a + F.length(w)) / nw
+        )
+        symbol_ratio = (
+            F.regexp_count(c, F.lit(r"#|\.\.\.|…")) / nw
+        )
+        n_lines = F.greatest(F.size(ls), F.lit(1)).cast("double")
+        bullet_frac = (
+            F.size(F.filter(ls, lambda l: F.trim(l).rlike(r"^[-*•‣▪]")))
+            / n_lines
+        )
+        ellipsis_frac = (
+            F.size(F.filter(ls, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+            / n_lines
+        )
+        alpha_frac = (
+            F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / nw
+        )
+        stop_hits = F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+                lambda s: F.array_contains(
+                    F.transform(ws, lambda w: F.lower(w)), s
+                ),
+            )
+        )
+        return F.struct(
+            n_words.alias("n_words"),
+            F.round(mean_wl, 6).alias("mean_word_len"),
+            F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+            F.round(bullet_frac, 6).alias("bullet_line_frac"),
+            F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+            F.round(alpha_frac, 6).alias("alpha_word_frac"),
+            stop_hits.alias("stopword_hits"),
+        )
+
+    # bind both arrays once per row; referencing `words`/`lines` directly
+    # inside the signal lambdas would re-split the text per element in
+    # the interpreted higher-order-function path (no CSE — see
+    # word_shingles)
+    return F.transform(
+        F.array(F.struct(words.alias("w"), lines.alias("l"))),
+        lambda p: with_arrays(p["w"], p["l"]),
+    )[0]

@@ -29,6 +29,7 @@ from autoprepad_spark.operators.text import (
     c4_clean_lines,
     dup_ngram_char_fraction,
     duplicate_line_fraction,
+    gopher_signals,
     top_ngram_fraction,
 )
 
@@ -39,6 +40,7 @@ STAGES = (
     "semantic_dup",
     "contaminated",
     "c4",
+    "gopher",
     "repetition",
     "quality",
 )
@@ -59,6 +61,7 @@ def clean_corpus(
     c4_min_words: int = 3,
     c4_min_sentences: int = 5,
     c4_badwords: tuple[str, ...] = C4_DEFAULT_BADWORDS,
+    gopher: bool = False,
     max_dup_line_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
     max_dup_5gram_char_frac: float | None = None,
@@ -86,6 +89,8 @@ def clean_corpus(
       (GPT-3-style decontamination).
     * ``c4`` — Raffel et al. 2020 line + page rules (text.c4_page_filter
       semantics inlined so no second scan is needed).
+    * ``gopher`` — the Rae et al. 2021 Table-A1 document-quality gate
+      (text.gopher_signals with the paper's thresholds).
     * repetition gates — Gopher signals (text.repetition_profile
       columns), each enabled by passing its threshold.
     * quality gates — length bounds + punctuation-ratio bound.
@@ -172,6 +177,27 @@ def clean_corpus(
         tagged = tagged.withColumn("_c4_fail", F.lit(None).cast("boolean"))
         eff_text = F.col(text_col)
 
+    if gopher:
+        g = gopher_signals(eff_text)
+        tagged = tagged.withColumn(
+            "_gopher_fail",
+            ~(
+                (g["n_words"] >= 50)
+                & (g["n_words"] <= 100_000)
+                & (g["mean_word_len"] >= 3.0)
+                & (g["mean_word_len"] <= 10.0)
+                & (g["symbol_word_ratio"] <= 0.1)
+                & (g["bullet_line_frac"] <= 0.9)
+                & (g["ellipsis_line_frac"] <= 0.3)
+                & (g["alpha_word_frac"] >= 0.8)
+                & (g["stopword_hits"] >= 2)
+            ),
+        )
+    else:
+        tagged = tagged.withColumn(
+            "_gopher_fail", F.lit(None).cast("boolean")
+        )
+
     rep_fail = F.lit(False)
     any_rep = False
     if max_dup_line_frac is not None:
@@ -219,6 +245,7 @@ def clean_corpus(
         .when(F.col("_sem_dup"), "semantic_dup")
         .when(F.col("_contam"), "contaminated")
         .when(F.col("_c4_fail"), "c4")
+        .when(F.col("_gopher_fail"), "gopher")
         .when(F.col("_rep_fail"), "repetition")
         .when(F.col("_q_fail"), "quality")
     )

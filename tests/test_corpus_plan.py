@@ -102,6 +102,19 @@ def test_all_stages_optional(spark):
     assert clean.columns == docs.columns
 
 
+def test_gopher_stage(spark):
+    good = " ".join(
+        ["the", "value", "of", "and", "that", "signal", "with", "table"] * 8
+    )
+    docs = spark.createDataFrame(
+        [(0, good), (1, "too few words here")], ["doc_id", "text"]
+    )
+    clean, audit = clean_corpus(docs, exact_dedup=False, gopher=True)
+    got = {r["stage"]: r["n_docs"] for r in audit.collect()}
+    assert got == {"kept": 1, "gopher": 1}
+    assert [r["doc_id"] for r in clean.collect()] == [0]
+
+
 def test_exact_dedup_only(spark):
     docs = spark.createDataFrame(_DOCS, ["doc_id", "text"])
     clean, audit = clean_corpus(docs)
