@@ -115,6 +115,27 @@ def test_gopher_stage(spark):
     assert [r["doc_id"] for r in clean.collect()] == [0]
 
 
+def test_plan_is_python_free_and_key_bounded(spark):
+    """Every stage is JVM-side (no Arrow/Python eval nodes) and every
+    shuffle partitions on an expected key — the doc id (drop-list
+    joins), the dedup text hash (16-byte (id, hash) pairs, not
+    documents), contamination hit keys, or the audit grouping."""
+    import re
+
+    docs = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    bench = spark.createDataFrame([(0, _EXCERPT)], ["bench_id", "text"])
+    clean, audit = clean_corpus(
+        docs, benchmark=bench, c4=True, gopher=True,
+        max_top_bigram_frac=0.5, min_chars=10,
+    )
+    for df in (clean, audit):
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        assert "EvalPython" not in plan  # no row- or Arrow-Python nodes
+        keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+        allowed = {"doc_id", "_h", "bench_id", "probe", "_groupingexpression"}
+        assert set(keys) <= allowed, keys
+
+
 def test_exact_dedup_only(spark):
     docs = spark.createDataFrame(_DOCS, ["doc_id", "text"])
     clean, audit = clean_corpus(docs)
