@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from autoprepad_spark.operators.dedup import word_shingles
+from autoprepad_spark.operators.dedup import word_shingle_hashes
 
 #: contamination flag: fraction of the benchmark ITEM's shingles that
 #: must appear in the document. 0.5 is a common operating point for
@@ -49,9 +49,8 @@ def benchmark_probes(
     return (
         bench.select(
             F.col(id_col).alias("bench_id"),
-            F.explode(word_shingles(text_col, k)).alias("_sh"),
+            F.explode(word_shingle_hashes(text_col, k)).alias("probe"),
         )
-        .select("bench_id", F.xxhash64("_sh").alias("probe"))
         .distinct()
     )
 
@@ -92,8 +91,8 @@ def contamination_report(
 
     doc_sh = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, k)).alias("_sh"),
-    ).select("doc_id", F.xxhash64("_sh").alias("probe"))
+        F.explode(word_shingle_hashes(text_col, k)).alias("probe"),
+    )
 
     hits = (
         doc_sh.join(probes, "probe")

@@ -109,12 +109,57 @@ def word_shingles(text_col: str, k: int = 3) -> F.Column:
     return F.transform(F.array(words), body)[0]
 
 
+def word_shingle_hashes(text_col: str, k: int = 3) -> F.Column:
+    """Distinct 64-bit word-k-shingle hashes as ``array<long>`` — the
+    production shingle path (JVM-side, no UDF, no per-shingle strings).
+
+    Words are hashed ONCE each (xxhash64), then each shingle hash is
+    xxhash64 over the k individual ``element_at`` longs of the word-hash
+    array — NOT over a ``slice`` of it and NOT over per-shingle strings.
+    Both alternatives were measured on 2M docs at pinned 4 vs 16 cores:
+    the string path (``word_shingles`` + hash-after-explode) runs
+    47s->42s (1.1x from 4x cores) and ``xxhash64(slice(wh,i,k))`` runs
+    34s->22s (1.5x), while this form runs 16s->6.4s (2.5x, matching the
+    scan+split ceiling) — per-shingle array/string allocation inside an
+    interpreted lambda is what caps core scaling, so the hot path
+    allocates nothing per shingle.
+
+    Same lambda-binding discipline as ``word_shingles``: both ``words``
+    and the word-hash array are bound once per row via one-element
+    transforms, because interpreted higher-order lambdas re-evaluate
+    free expressions per iteration (no CSE).
+
+    Collision semantics: identical to hashing the shingle string —
+    64-bit xxhash either way; only the hash VALUES differ, so Jaccard
+    over the hash sets still equals string-shingle Jaccard up to
+    negligible 2^-64 collisions.
+    """
+    words = F.split(normalize_text(text_col), " ")
+
+    def hashes(wh: F.Column) -> F.Column:
+        n = F.size(wh)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+        sh = F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at(wh, i + j) for j in range(k)]),
+        )
+        return F.when(n >= k, F.array_distinct(sh)).otherwise(
+            F.array(F.xxhash64(wh))
+        )
+
+    def body(ws: F.Column) -> F.Column:
+        wh = F.transform(ws, lambda w: F.xxhash64(w))
+        return F.transform(F.array(wh), hashes)[0]
+
+    return F.transform(F.array(words), body)[0]
+
+
 def _shingle_hashes(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(id, h) — one row per distinct shingle, hashed to 64 bits."""
     return df.select(
         F.col(id_col).alias("_id"),
-        F.explode(word_shingles(text_col, k)).alias("_sh"),
-    ).select("_id", F.pmod(F.xxhash64("_sh"), F.lit(HASH_DOMAIN)).alias("_h"))
+        F.explode(word_shingle_hashes(text_col, k)).alias("_sh"),
+    ).select("_id", F.pmod(F.col("_sh"), F.lit(HASH_DOMAIN)).alias("_h"))
 
 
 def minhash_signatures(
@@ -630,23 +675,35 @@ def token_windows(
     The unit of exact-substring dedup (Lee et al. 2022's ExactSubstr,
     arXiv:2107.06499): a verbatim overlap of >= window tokens between two
     documents shows up as an identical window hash at some position in
-    each. All window hashing happens inside ONE whole-stage-codegen
-    projection (transform over a sequence, the token array bound once —
-    see word_shingles' lambda-binding note); the explode emits
-    ``n_tokens - window + 1`` rows per doc, which is the inherent index
-    size of this algorithm, not an implementation artifact.
+    each. The hash is used ONLY for equality (the groupBy below), so it
+    is computed in the integer domain: tokens hashed once each, each
+    window hash = xxhash64 over the ``window`` consecutive token-hash
+    longs via ``element_at`` — no per-window string or array is built.
+    (The earlier ``xxhash64(concat_ws(slice(...)))`` form allocates one
+    string per window; per-element allocation inside interpreted lambdas
+    measurably caps multi-core scaling — see word_shingle_hashes.) The
+    explode emits ``n_tokens - window + 1`` rows per doc, which is the
+    inherent index size of this algorithm, not an implementation
+    artifact.
     """
     toks = F.split(normalize_text(text_col), " ")
 
-    def body(ts: F.Column) -> F.Column:
-        n = F.size(ts)
-        idx = F.sequence(F.lit(1), n - F.lit(window - 1))
+    def hashes(th: F.Column) -> F.Column:
+        n = F.size(th)
+        idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
         return F.when(
             n >= window,
             F.transform(
-                idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ts, i, window)))
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(th, i + j) for j in range(window)]
+                ),
             ),
         ).otherwise(F.array().cast("array<bigint>"))
+
+    def body(ts: F.Column) -> F.Column:
+        th = F.transform(ts, lambda t: F.xxhash64(t))
+        return F.transform(F.array(th), hashes)[0]
 
     arr = F.transform(F.array(toks), body)[0]
     return df.select(

@@ -187,15 +187,34 @@ def top_ngram_fraction(col: Column | str, n: int = 2) -> Column:
     the n-gram array, then aggregate max-count via a nested
     TRANSFORM/FILTER comparison — no explode, no shuffle, evaluated
     row-local. O(grams x distinct) per doc, i.e. bounded by the doc.
-    0.0 for docs with <= n words."""
+    0.0 for docs with <= n words.
+
+    N-grams are compared by identity only, so they are represented as
+    64-bit hashes of n consecutive word-hash longs (element_at, no
+    per-gram string/array allocation — allocation inside interpreted
+    lambdas caps multi-core scaling; see word_shingle_hashes)."""
     from autoprepad_spark.operators.dedup import normalize_text
 
     words = F.split(normalize_text(col if isinstance(col, str) else col), " ")
 
     def with_words(ws: Column) -> Column:
         nw = F.size(ws)
+        wh = F.transform(ws, lambda w: F.xxhash64(w))
+        return F.transform(F.array(wh), lambda whb: with_wh(whb, nw))[0]
+
+    def with_wh(wh: Column, nw: Column) -> Column:
+        # the nw > n guard must wrap the gram CONSTRUCTION: element_at
+        # past the array end throws under ANSI (slice truncated quietly)
         idx = F.sequence(F.lit(1), F.greatest(nw - (n - 1), F.lit(1)))
-        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+        grams = F.when(
+            nw > n,
+            F.transform(
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(wh, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
 
         def with_grams(bg: Column) -> Column:
             # bg is bound once; writing `grams` inside the counts
@@ -228,54 +247,79 @@ def dup_ngram_char_fraction(col: Column | str, n: int = 5) -> Column:
     dup-n-gram signal (n=5..10 in the paper) — overlap-agnostic,
     deterministic, and cheap enough to evaluate row-local.
 
-    Expression-only: n-gram array built once, per-distinct counts via
-    nested TRANSFORM/FILTER, char mass via one zip_with + aggregate.
-    Zero shuffle; O(grams x distinct) per doc. 0.0 for docs with <= n
-    words."""
+    Expression-only, zero shuffle, O(grams^2) worst case per doc (same
+    order as the distinct-scan it replaces). N-grams are compared by
+    identity, so they live as 64-bit hashes of n consecutive word-hash
+    longs, with a parallel per-gram char-length array (word lengths +
+    n-1 separators) standing in for length(gram) — no per-gram string
+    or array allocation (allocation inside interpreted lambdas caps
+    multi-core scaling; see word_shingle_hashes). A position's n-gram
+    counts as duplicated when an EARLIER position holds the same hash:
+    that marks exactly the c-1 non-first occurrences of each distinct
+    gram, so the char mass matches the (c-1)*length(gram) formulation.
+    0.0 for docs with <= n words."""
     from autoprepad_spark.operators.dedup import normalize_text
 
     norm = normalize_text(col if isinstance(col, str) else col)
+
+    def with_pair(bg: Column, bl: Column, nw: Column, nt: Column) -> Column:
+        pos = F.sequence(F.lit(1), F.size(bg))
+        repeat_chars = F.transform(
+            pos,
+            lambda p: F.when(
+                F.exists(
+                    F.sequence(F.lit(1), F.greatest(p - 1, F.lit(1))),
+                    lambda q: (q < p)
+                    & (F.element_at(bg, q) == F.element_at(bg, p)),
+                ),
+                F.element_at(bl, p).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        dup_chars = F.aggregate(
+            repeat_chars, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+        return F.when(
+            nw > n,
+            F.least(
+                dup_chars / F.greatest(F.length(nt), F.lit(1)).cast("double"),
+                F.lit(1.0),
+            ),
+        ).otherwise(F.lit(0.0))
+
+    def with_arrs(wh: Column, wl: Column, nw: Column, nt: Column) -> Column:
+        # the nw > n guard must wrap the gram CONSTRUCTION: element_at
+        # past the array end throws under ANSI (slice truncated quietly)
+        idx = F.sequence(F.lit(1), F.greatest(nw - (n - 1), F.lit(1)))
+        bg = F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at(wh, i + j) for j in range(n)]),
+        )
+        sep = F.lit(n - 1)
+        bl = F.transform(
+            idx,
+            lambda i: sum(
+                (F.element_at(wl, i + j) for j in range(n)), start=sep
+            ),
+        )
+        return F.when(
+            nw > n,
+            F.transform(
+                F.array(F.struct(bg.alias("g"), bl.alias("l"))),
+                lambda s: with_pair(s["g"], s["l"], nw, nt),
+            )[0],
+        ).otherwise(F.lit(0.0))
 
     def with_text(nt: Column) -> Column:
         ws = F.split(nt, " ")
 
         def with_words(wsb: Column) -> Column:
             nw = F.size(wsb)
-            idx = F.sequence(F.lit(1), F.greatest(nw - (n - 1), F.lit(1)))
-            grams = F.transform(
-                idx, lambda i: F.concat_ws(" ", F.slice(wsb, i, n))
-            )
-
-            def with_grams(bg: Column) -> Column:
-                uniq = F.array_distinct(bg)
-
-                def with_uniq(uq: Column) -> Column:
-                    counts = F.transform(
-                        uq, lambda d: F.size(F.filter(bg, lambda b: b == d))
-                    )
-                    dup_chars = F.aggregate(
-                        F.zip_with(
-                            uq,
-                            counts,
-                            lambda g, c: F.when(
-                                c > 1, (c - 1) * F.length(g)
-                            ).otherwise(F.lit(0)),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    )
-                    return F.when(
-                        nw > n,
-                        F.least(
-                            dup_chars
-                            / F.greatest(F.length(nt), F.lit(1)).cast("double"),
-                            F.lit(1.0),
-                        ),
-                    ).otherwise(F.lit(0.0))
-
-                return F.transform(F.array(uniq), with_uniq)[0]
-
-            return F.transform(F.array(grams), with_grams)[0]
+            wh = F.transform(wsb, lambda w: F.xxhash64(w))
+            wl = F.transform(wsb, lambda w: F.length(w))
+            return F.transform(
+                F.array(F.struct(wh.alias("h"), wl.alias("l"))),
+                lambda s: with_arrs(s["h"], s["l"], nw, nt),
+            )[0]
 
         return F.transform(F.array(ws), with_words)[0]
 

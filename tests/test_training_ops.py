@@ -347,3 +347,52 @@ def test_ngram_repetition_signals_match_python_oracle(spark):
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[100]["dup5"] > 0.5      # engineered repetition is caught
     assert by_id[101]["dup5"] == 0.0
+
+
+def test_shingle_hash_domain_equivalent_to_string_domain(spark):
+    """word_shingle_hashes (production int path) must induce the same
+    set structure as the readable string-domain word_shingles: equal
+    per-doc distinct-shingle counts and equal pairwise Jaccard, for
+    several k including the n < k degenerate case."""
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "a b c d e f h"),          # near dup of 1
+        (3, "a b c d e f g"),          # exact dup of 1
+        (4, "x y z"),                   # n == k boundary for k=3
+        (5, "short"),                   # n < k -> whole-doc shingle
+        (6, "p q p q p q p q"),         # repeated shingles -> distinct matters
+        (7, ""),                        # empty text
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for k in (2, 3, 5):
+        out = df.select(
+            "doc_id",
+            F.size(DD.word_shingles("text", k)).alias("n_str"),
+            F.size(DD.word_shingle_hashes("text", k)).alias("n_int"),
+        ).collect()
+        for r in out:
+            assert r["n_str"] == r["n_int"], (r["doc_id"], k)
+
+    def jacc(col):
+        sh = df.select(
+            F.col("doc_id").alias("_id"), F.explode(col).alias("_h")
+        )
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a._h") == F.col("b._h"))
+                   & (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("i"), F.col("b._id").alias("j"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+        return {
+            (r["i"], r["j"]): r["n_inter"]
+            for r in inter.collect()
+        }, {r["_id"]: r["n"] for r in sizes.collect()}
+
+    i_str, s_str = jacc(DD.word_shingles("text", 3))
+    i_int, s_int = jacc(
+        DD.word_shingle_hashes("text", 3).cast("array<string>")
+    )
+    assert s_str == s_int
+    assert i_str == i_int

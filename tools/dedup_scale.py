@@ -1,0 +1,218 @@
+"""Dedup-family N vs 4N scaling evidence.
+
+The north rule's scaling criterion is proven on the validation suite
+(bench.py --scaling); this tool applies the SAME two-parallelism-level
+methodology to the dedup pipeline — the training-data operator family
+whose 100-TB behavior the round briefs grade — so its scale story is
+measured, not argued:
+
+    corpus -> exact_duplicates (md5 hash-groupBy)
+           -> shared shingle index -> minhash signatures
+           -> LSH banding (bucket-size cap active, production default)
+           -> exact-Jaccard verification of candidates
+           -> connected components -> keep-one-per-cluster
+
+Usage:
+    python tools/dedup_scale.py [rows] [n_cores] [n4_cores]
+Internal worker modes (mirrors bench.py): --gen rows | --worker cores rows
+
+The corpus is deterministic and parallelism-independent (chunk-seeded
+mapInPandas, same pattern as datagen.generate_tokens): every 50th doc is
+a near-duplicate of its predecessor (one word edited, true J ~ 0.9) and
+every 100th an exact copy two back, so expected pair/cluster counts are
+known. Workers are taskset-pinned fresh processes; outputs must be
+hash-identical across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from collections.abc import Iterator
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CHUNK = 20_000
+SEED = 99
+VOCAB = 5_000
+
+
+def _text_for(idx: int) -> str:
+    import numpy as np
+
+    if idx % 100 == 2:          # exact copy of idx-2
+        return _text_for(idx - 2)
+    edited = idx % 50 == 1      # near-dup of idx-1 (last word edited)
+    base = idx - 1 if edited else idx
+    rng = np.random.default_rng([SEED, base])
+    n = 30 + int(base % 60)
+    words = [f"w{v}" for v in rng.integers(0, VOCAB, n)]
+    if edited:
+        words[-1] = "edited"
+    return " ".join(words)
+
+
+def generate_docs(spark, n_rows: int, n_parts: int = 32):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n_chunks = (n_rows + CHUNK - 1) // CHUNK
+    chunks = spark.range(n_chunks).repartition(n_parts, "id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for cid in b["id"]:
+                lo, hi = cid * CHUNK, min(n_rows, (cid + 1) * CHUNK)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": range(lo, hi),
+                        "text": [_text_for(i) for i in range(lo, hi)],
+                    }
+                )
+
+    return chunks.mapInPandas(gen, "doc_id long, text string").select(
+        F.col("doc_id"), F.col("text")
+    )
+
+
+def _path(rows: int) -> str:
+    return os.path.join(
+        os.environ.get("SPARK_BENCH_TMP", "/tmp"), f"dedup_docs_{rows}"
+    )
+
+
+def run_gen(rows: int) -> None:
+    from autoprepad_spark.session import get_spark
+
+    spark = get_spark("dedup-scale-gen", cores=32)
+    generate_docs(spark, rows).write.mode("overwrite").parquet(_path(rows))
+
+
+def run_worker(cores: int, rows: int) -> None:
+    from autoprepad_spark.session import get_spark
+    from autoprepad_spark.operators import dedup as DD
+    from pyspark.sql import functions as F
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    os.environ.setdefault("SPARK_JAVA_OPTS", "-XX:+UseG1GC")
+    spark = get_spark(f"dedup-scale-{cores}", cores=cores)
+    docs = spark.read.parquet(_path(rows))
+    n_docs = docs.count()
+
+    # warmup pass on a slice: JIT the codegen'd shingle/minhash loops
+    warm = docs.filter(F.col("doc_id") < 50_000)
+    DD.exact_duplicates(warm).count()
+    wsh = DD._shingle_hashes(warm, "text", "doc_id", 3).cache()
+    DD.verify_pairs_jaccard(
+        warm,
+        DD.minhash_candidates(DD.minhash_signatures(warm, shingles=wsh).cache()),
+        threshold=0.8, shingles=wsh, assume_distinct=True,
+    ).count()
+    wsh.unpersist()
+
+    best = float("inf")
+    stages_best = None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        stages = {}
+        t0 = t = time.perf_counter()
+        n_exact = DD.exact_duplicates(docs).count()
+        stages["exact"] = round(time.perf_counter() - t, 2)
+
+        t = time.perf_counter()
+        sh = DD._shingle_hashes(docs, "text", "doc_id", 3)
+        if not os.environ.get("DEDUP_NO_SHINGLE_CACHE"):
+            sh = sh.cache()
+        sigs = DD.minhash_signatures(docs, shingles=sh).cache()
+        sigs.count()
+        stages["shingle_minhash"] = round(time.perf_counter() - t, 2)
+
+        t = time.perf_counter()
+        cands = DD.minhash_candidates(sigs)  # production bucket cap active
+        pairs = DD.verify_pairs_jaccard(
+            docs, cands, threshold=0.8, shingles=sh, assume_distinct=True
+        ).cache()
+        n_pairs = pairs.count()
+        stages["lsh_verify"] = round(time.perf_counter() - t, 2)
+
+        t = time.perf_counter()
+        kept = DD.keep_one_per_cluster(docs, pairs)
+        agg = kept.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col("doc_id").cast("string")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        stages["cluster_keep"] = round(time.perf_counter() - t, 2)
+
+        elapsed = time.perf_counter() - t0
+        if elapsed < best:
+            best, stages_best = elapsed, stages
+        for c in (sh, sigs, pairs):
+            if not os.environ.get("DEDUP_NO_SHINGLE_CACHE") or c is not sh:
+                c.unpersist()
+
+    print(json.dumps({
+        "cores": cores,
+        "rows": n_docs,
+        "elapsed_sec": round(best, 3),
+        "docs_per_sec": round(n_docs / best, 1),
+        "n_exact_dup_groups": n_exact,
+        "n_verified_pairs": n_pairs,
+        "n_kept": agg["n"],
+        "kept_hash": str(agg["h"]),
+        "stages": stages_best,
+    }))
+
+
+def main(rows: int, n_cores: int, n4_cores: int) -> None:
+    subprocess.run(
+        [sys.executable, __file__, "--gen", str(rows)],
+        check=True, cwd=REPO,
+    )
+    results = {}
+    for cores in (n_cores, n4_cores):
+        cmd = [sys.executable, __file__, "--worker", str(cores), str(rows)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(p.stdout, p.stderr, file=sys.stderr)
+            raise SystemExit(f"worker cores={cores} failed")
+        results[cores] = json.loads(line[-1])
+        print(f"# local[{cores}]: {results[cores]['elapsed_sec']}s "
+              f"{results[cores]['docs_per_sec']} docs/s", file=sys.stderr)
+    rn, rn4 = results[n_cores], results[n4_cores]
+    eff = (rn4["docs_per_sec"] / rn["docs_per_sec"]) / (n4_cores / n_cores)
+    identical = all(
+        rn[k] == rn4[k]
+        for k in ("n_exact_dup_groups", "n_verified_pairs", "n_kept", "kept_hash")
+    )
+    print(json.dumps({
+        "metric": f"dedup_scaling_local{n_cores}_vs_local{n4_cores}",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "rows": rows,
+        "n": rn, "n4": rn4,
+        "outputs_identical": identical,
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--gen":
+        run_gen(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        run_worker(int(sys.argv[2]), int(sys.argv[3]))
+    else:
+        rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+        n, n4 = (
+            (int(sys.argv[2]), int(sys.argv[3]))
+            if len(sys.argv) > 3
+            else (4, 16)
+        )
+        main(rows, n, n4)
