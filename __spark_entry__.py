@@ -440,6 +440,10 @@ def q_minhash_dedup(spark, sf):
     out = DD.verify_pairs_jaccard(
         docs, cands, threshold=0.9, shingles=sh, broadcast_pairs=True,
         assume_distinct=True,  # sh IS _shingle_hashes output: per-doc distinct
+        # prune_index off for the same reason broadcast_pairs is pinned:
+        # at this corpus size the prune's extra stages cost more than the
+        # index shuffles they remove (2.1x win at 2M docs, loss at 50k)
+        prune_index=False,
     )
     out = out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).cache()
     out.count()
@@ -469,7 +473,7 @@ def q_dup_clusters(spark, sf):
     )
     pairs = DD.verify_pairs_jaccard(
         docs, cands, threshold=0.9, shingles=sh, broadcast_pairs=True,
-        assume_distinct=True,
+        assume_distinct=True, prune_index=False,  # see q_minhash_dedup
     )
     out = DD.dup_cluster_sizes(pairs).cache()
     out.count()

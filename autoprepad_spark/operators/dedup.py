@@ -232,12 +232,19 @@ def minhash_candidates(
     if num_hashes is None:  # driver peek = one full pipeline execution
         num_hashes = len(signatures.select("sig").first()["sig"])
     rows_per_band = num_hashes // bands
+    # bucket key hashes the band's signature longs DIRECTLY (seeded with
+    # the band index) — no per-band string concat; per-element string
+    # allocation measurably caps core scaling (see word_shingle_hashes)
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string") for r in range(rows_per_band)])
+                    F.lit(b),
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
                 ).alias("bucket"),
             )
             for b in range(bands)
@@ -274,6 +281,7 @@ def verify_pairs_jaccard(
     shingles: DataFrame | None = None,
     broadcast_pairs: bool = False,
     assume_distinct: bool = False,
+    prune_index: bool = True,
 ) -> DataFrame:
     """Exact Jaccard verification of candidate pairs: (id_a, id_b, jaccard).
 
@@ -295,12 +303,31 @@ def verify_pairs_jaccard(
     and the only thing it guards is intra-doc 61-bit hash collisions
     (~1e-13 per doc), a risk class the hash-based intersection count
     already accepts cross-doc.
+    ``prune_index`` (default on): semi-join the shingle index down to
+    ids that appear in some candidate pair BEFORE the size aggregation
+    and the intersection joins. Verification only ever reads candidate
+    docs' shingles, but the planner cannot infer that through the
+    (id, _h) join keys — without the prune, the size groupBy and the
+    b-side join each shuffle the FULL index (the largest intermediate in
+    the pipeline); with it, both touch only |candidate docs| rows, and
+    when the id set broadcasts the index is never exchanged at all.
+    Note the prune evaluates ``pairs`` one extra time — cache the
+    candidate frame if its generation is expensive.
     """
     if shingles is None:
         sh = _shingle_hashes(df, text_col, id_col, k_shingle)
     else:
         # only an EXTERNAL index of unknown provenance needs the dedup
         sh = shingles if assume_distinct else shingles.distinct()
+    if prune_index:
+        ids = (
+            pairs.select(F.col("id_a").alias("_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("_id")))
+            .distinct()
+        )
+        if broadcast_pairs:
+            ids = F.broadcast(ids)
+        sh = sh.join(ids, "_id", "left_semi")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("_id").alias("id_a"), F.col("_h"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_h"))
