@@ -55,6 +55,51 @@ def test_minhash_identical_docs_always_candidates(docs):
     assert (1, 4) not in cand and (2, 4) not in cand  # disjoint shingles
 
 
+def test_minhash_estimator_calibration(spark):
+    """Signature-component match fraction must be an unbiased estimator
+    of true Jaccard — the property the banding recall guarantee rests
+    on. Regression for the (a*x+b) mod 2^61-1 family over a 2^31 domain,
+    whose at-most-one-wrap "permutations" were dominated by the smallest
+    shingle hash: 32 correlated components, est 0.09 at true J 0.97."""
+    rng = np.random.default_rng(11)
+
+    def mk(n, words):
+        return " ".join(f"w{v}" for v in rng.choice(words, n))
+
+    base_words = np.arange(2000)
+    pairs = []
+    for i in range(30):
+        a = mk(400, base_words)
+        # perturb a controlled fraction of words -> a spread of true J
+        wa = a.split(" ")
+        n_swap = int(len(wa) * (i / 40))
+        idx = rng.choice(len(wa), n_swap, replace=False)
+        wb = list(wa)
+        for j in idx:
+            wb[j] = f"x{j}"
+        pairs.append((2 * i, a, 2 * i + 1, " ".join(wb)))
+
+    def shingle_set(t, k=3):
+        w = t.split(" ")
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    rows = [(p[0], p[1]) for p in pairs] + [(p[2], p[3]) for p in pairs]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = {r["doc_id"]: np.array(r["sig"])
+           for r in DD.minhash_signatures(df, num_hashes=128).collect()}
+    errs = []
+    for ia, ta, ib, tb in pairs:
+        sa, sb = shingle_set(ta), shingle_set(tb)
+        true_j = len(sa & sb) / len(sa | sb)
+        est = float((sig[ia] == sig[ib]).mean())
+        sd = max((true_j * (1 - true_j) / 128) ** 0.5, 1e-9)
+        errs.append((est - true_j) / sd)
+        # each estimate within 5 sd of truth (binomial, n=128)
+        assert abs(est - true_j) <= max(5 * sd, 0.04), (true_j, est)
+    # and unbiased in aggregate: mean standardized error near 0
+    assert abs(float(np.mean(errs))) < 1.0
+
+
 def test_simhash_hamming(docs):
     fps = DD.simhash(docs, text_col="text", id_col="doc_id")
     vals = {r["doc_id"]: r["simhash"] for r in fps.collect()}
@@ -181,10 +226,12 @@ def test_minhash_bucket_cap_kills_degenerate_bucket(spark):
     genuinely-near-dup pairs in small buckets survive."""
     boiler = "this exact boilerplate footer text appears on every single page of the site"
     rows = [(i, boiler) for i in range(10_000)]
-    rows += [
-        (20_000, "a unique long article about distributed dataflow engines and planning"),
-        (20_001, "a unique long article about distributed dataflow engines and scheduling"),
-    ]
+    # a genuine near-dup pair: 30 shared words + one trailing extra word
+    # -> shingle J = 28/29 ~= 0.97, P(no band matches) ~= 3e-8 under a
+    # CORRECT minhash family (the old correlated family passed even at
+    # J=0.5, which is how a weaker fixture once slipped through here)
+    article = " ".join(f"word{i}" for i in range(30))
+    rows += [(20_000, article), (20_001, article + " extra")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     sigs = DD.minhash_signatures(df, text_col="text", id_col="doc_id").cache()
     pairs = DD.minhash_candidates(
