@@ -171,9 +171,7 @@ def minhash_signatures(
     """(id, sig:array<long>) — num_hashes min-hash values per doc.
 
     The i-th hash function is g_i(x) = xxhash64(seed, i, x) — a fully
-    mixing 64-bit function, independent per i, evaluated JVM-side in ONE
-    aggregation over the exploded shingle hashes (num_hashes F.min
-    columns), so the corpus is scanned once however many hashes we use.
+    mixing 64-bit function, independent per i.
 
     Why NOT the textbook (a*x + b) mod p family: with 64-bit longs the
     only overflow-safe choice keeps a, x < 2^31 while p = 2^61-1, and
@@ -186,22 +184,64 @@ def minhash_signatures(
     a, b ~ U[1, p), i.e. 128-bit products Spark expressions don't have;
     a seeded xxhash64 per function is the standard fix and is cheaper.
 
+    Default plan shape is MAP-ONLY: word_shingle_hashes already yields
+    the per-doc shingle array, so all num_hashes mins are computed per
+    row via minhash_signature_col — no explode, no shuffle, no agg hash
+    table. The exploded-index aggregation (one groupBy with num_hashes
+    F.min columns) is kept for ``shingles``-sharing callers.
+
     ``shingles``: a precomputed (_id, _h) frame (e.g. cached and shared
-    with verify_pairs_jaccard) to avoid re-deriving the shingle index.
+    with verify_pairs_jaccard) to aggregate signatures from an existing
+    index instead of re-deriving shingles. Values are identical either
+    way (min over the same distinct-hash set).
     """
-    hashes = (
-        shingles if shingles is not None
-        else _shingle_hashes(df, text_col, id_col, k_shingle)
-    )
+    if shingles is None:
+        return df.select(
+            F.col(id_col),
+            minhash_signature_col(
+                word_shingle_hashes(text_col, k_shingle),
+                num_hashes=num_hashes,
+                seed=seed,
+            ).alias("sig"),
+        ).filter(F.col("sig").isNotNull())
     mins = [
         F.min(F.xxhash64(F.lit(seed), F.lit(i), F.col("_h"))).alias(f"m{i}")
         for i in range(num_hashes)
     ]
-    sig = hashes.groupBy("_id").agg(*mins)
+    sig = shingles.groupBy("_id").agg(*mins)
     return sig.select(
         F.col("_id").alias(id_col),
         F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"),
     )
+
+
+def minhash_signature_col(
+    shingle_arr: F.Column, *, num_hashes: int = 32, seed: int = 42
+) -> F.Column:
+    """num_hashes min-hash values of a shingle-hash array, as one
+    map-only expression: sig[i] = min over the array of
+    xxhash64(seed, i, element).
+
+    Same lambda-binding discipline as word_shingle_hashes: the shingle
+    array is bound ONCE via a one-element transform so the (heavy)
+    upstream expression isn't re-evaluated per hash function — an
+    interpreted higher-order lambda re-evaluates free expressions per
+    iteration (no CSE).
+    """
+
+    def body(arr: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        arr, lambda x: F.xxhash64(F.lit(seed), F.lit(i), x)
+                    )
+                )
+                for i in range(num_hashes)
+            ]
+        )
+
+    return F.transform(F.array(shingle_arr), body)[0]
 
 
 def minhash_candidates(
@@ -316,11 +356,7 @@ def verify_pairs_jaccard(
     Note the prune evaluates ``pairs`` one extra time — cache the
     candidate frame if its generation is expensive.
     """
-    if shingles is None:
-        sh = _shingle_hashes(df, text_col, id_col, k_shingle)
-    else:
-        # only an EXTERNAL index of unknown provenance needs the dedup
-        sh = shingles if assume_distinct else shingles.distinct()
+    ids = None
     if prune_index:
         ids = (
             pairs.select(F.col("id_a").alias("_id"))
@@ -329,7 +365,19 @@ def verify_pairs_jaccard(
         )
         if broadcast_pairs:
             ids = F.broadcast(ids)
-        sh = sh.join(ids, "_id", "left_semi")
+    if shingles is None:
+        src = df
+        if ids is not None:
+            # prune BEFORE shingling: only candidate docs are ever
+            # exploded, so the index build is |candidates|-sized — the
+            # full corpus is never shingled for verification
+            src = df.join(ids.withColumnRenamed("_id", id_col), id_col, "left_semi")
+        sh = _shingle_hashes(src, text_col, id_col, k_shingle)
+    else:
+        # only an EXTERNAL index of unknown provenance needs the dedup
+        sh = shingles if assume_distinct else shingles.distinct()
+        if ids is not None:
+            sh = sh.join(ids, "_id", "left_semi")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("_id").alias("id_a"), F.col("_h"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_h"))
