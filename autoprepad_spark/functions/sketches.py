@@ -71,13 +71,15 @@ def _rho_spark(tail):
     )
 
 
-def hll_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Distinct-count estimates for cols via the portable HLL sketch.
+def hll_registers(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col, reg, m_j) — the sketch's MERGEABLE register state.
 
-    Returns one row per column: (col, registers_set, empty_registers,
-    harmonic_s, estimate) — everything but ``estimate`` is integer-exact
-    and engine-independent; ``estimate`` should be rounded by the caller
-    (2 decimals is far coarser than any cross-engine float divergence).
+    This is the persistable form: at most ``len(cols) * 4096`` rows of
+    three small integers regardless of input size. Sketches over
+    disjoint shards merge EXACTLY via ``hll_merge`` (register-wise max
+    is HLL's union operation — Flajolet et al. 2007 §4), so a corpus
+    profile updates shard-at-a-time with no rescan; ``hll_estimate``
+    turns any register frame back into the hll_distinct output.
     """
     melted = df.select(
         F.explode(
@@ -98,7 +100,29 @@ def hll_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
         F.conv(F.substring("h", 1, 3), 16, 10).cast("int").alias("reg"),
         _rho_spark(F.substring("h", 4, 12)).alias("rho"),
     )
-    per_reg = regs.groupBy("col", "reg").agg(F.max("rho").alias("m_j"))
+    return regs.groupBy("col", "reg").agg(F.max("rho").alias("m_j"))
+
+
+def hll_merge(*register_frames: DataFrame) -> DataFrame:
+    """Union of HLL sketches: register-wise max over any number of
+    (col, reg, m_j) frames. Exact sketch-union — the merged registers
+    are identical to the registers of one pass over the concatenated
+    inputs, because max is associative/commutative over the per-row
+    rho values."""
+    out = register_frames[0]
+    for r in register_frames[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("col", "reg").agg(F.max("m_j").alias("m_j"))
+
+
+def hll_estimate(per_reg: DataFrame) -> DataFrame:
+    """Distinct-count estimates from a (col, reg, m_j) register frame.
+
+    Returns one row per column: (col, registers_set, empty_registers,
+    harmonic_s, estimate) — everything but ``estimate`` is integer-exact
+    and engine-independent; ``estimate`` should be rounded by the caller
+    (2 decimals is far coarser than any cross-engine float divergence).
+    """
     agg = per_reg.groupBy("col").agg(
         F.count(F.lit(1)).alias("registers_set"),
         F.sum(F.pow(F.lit(2.0), (F.lit(_RHO_MAX) - F.col("m_j"))).cast("long")).alias(
@@ -121,6 +145,12 @@ def hll_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
         .withColumn("estimate", est)
         .select("col", "registers_set", "empty_registers", "harmonic_s", "estimate")
     )
+
+
+def hll_distinct(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Distinct-count estimates for cols via the portable HLL sketch
+    (one pass: hll_estimate over hll_registers)."""
+    return hll_estimate(hll_registers(df, cols))
 
 
 def hll_oracle_sql(melt_sql: str) -> str:

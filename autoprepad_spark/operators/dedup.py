@@ -167,6 +167,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     seed: int = 42,
     shingles: DataFrame | None = None,
+    method: str = "agg",
 ) -> DataFrame:
     """(id, sig:array<long>) — num_hashes min-hash values per doc.
 
@@ -184,18 +185,32 @@ def minhash_signatures(
     a, b ~ U[1, p), i.e. 128-bit products Spark expressions don't have;
     a seeded xxhash64 per function is the standard fix and is cheaper.
 
-    Default plan shape is MAP-ONLY: word_shingle_hashes already yields
-    the per-doc shingle array, so all num_hashes mins are computed per
-    row via minhash_signature_col — no explode, no shuffle, no agg hash
-    table. The exploded-index aggregation (one groupBy with num_hashes
-    F.min columns) is kept for ``shingles``-sharing callers.
+    ``method`` (when ``shingles`` is None):
+      * ``"agg"`` (default) — explode the per-doc shingle-hash array and
+        compute all num_hashes mins in ONE hash aggregation. The explode
+        and the agg's partial (map-side) phase run inside whole-stage
+        codegen, and partial aggregation collapses each doc to one
+        264-byte row before the exchange — the shuffle is |docs|-sized,
+        never |shingles|-sized. Measured on 2M docs, pinned cores
+        (tools/dedup_scale.py): the WRONG variant of this plan — caching
+        the exploded index to share with verification — is bandwidth-
+        flat (44s at 4 cores -> 44s at 16); uncached it is the fastest
+        CPU path because every hash evaluates in codegen.
+      * ``"map"`` — minhash_signature_col per row: no explode, no
+        shuffle, no agg hash table. Sounds optimal, measured 4x MORE
+        single-core CPU (175s vs ~40s at 4 cores, same 2M docs): the
+        per-hash transforms are interpreted HigherOrderFunctions (no
+        codegen, one array allocation per hash function per row). Keep
+        for maps-only contexts (e.g. inside a streaming foreachBatch
+        where an extra exchange is disallowed); the default is the
+        measured winner.
 
-    ``shingles``: a precomputed (_id, _h) frame (e.g. cached and shared
-    with verify_pairs_jaccard) to aggregate signatures from an existing
-    index instead of re-deriving shingles. Values are identical either
-    way (min over the same distinct-hash set).
+    ``shingles``: a precomputed (_id, _h) frame (e.g. shared with other
+    consumers) to aggregate signatures from an existing index instead
+    of re-deriving shingles. Values are identical across all three
+    paths (min over the same distinct-hash set).
     """
-    if shingles is None:
+    if shingles is None and method == "map":
         return df.select(
             F.col(id_col),
             minhash_signature_col(
@@ -204,6 +219,8 @@ def minhash_signatures(
                 seed=seed,
             ).alias("sig"),
         ).filter(F.col("sig").isNotNull())
+    if shingles is None:
+        shingles = _shingle_hashes(df, text_col, id_col, k_shingle)
     mins = [
         F.min(F.xxhash64(F.lit(seed), F.lit(i), F.col("_h"))).alias(f"m{i}")
         for i in range(num_hashes)

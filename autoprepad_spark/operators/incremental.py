@@ -1,4 +1,5 @@
-"""Incremental (shard-vs-history) deduplication.
+"""Incremental (shard-at-a-time) operators: dedup against a persisted
+sketch index, and mergeable shard profiles for fit-without-rescan.
 
 The production shape of dedup at 100 TB is NOT one giant self-join:
 corpora grow by shards (a daily crawl, a new dump), and each shard must
@@ -267,4 +268,139 @@ def append_to_index(
         kept.select(
             F.col(id_col).alias("doc_id"), F.col("content_hash"), F.col("sig")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable shard profiles: fit stats without rescanning history
+# ---------------------------------------------------------------------------
+#
+# The engine's entire fit path (fit_robust / impute_median /
+# percentile_threshold / drift baselines — functions/stats.py) derives
+# from per-column (value, count) histograms. A histogram over a UNION
+# of shards is the cell-wise SUM of the shards' histograms, so the
+# profile itself is the mergeable sketch: profile each shard once when
+# it arrives, persist the (col, v, n) frame (bounded by the value
+# domain, not the row count), and merge by groupBy-sum. Fit stats from
+# the merged profile are EXACTLY the batch fit over the concatenated
+# corpus — no approximation, no re-read. Distinct counts over unbounded
+# domains (doc ids, urls) ride along as HLL register frames
+# (functions/sketches.py hll_registers/hll_merge), whose register-wise
+# max is likewise an exact sketch union.
+#
+# At 100 TB: each arriving shard is scanned ONCE for (histogram, HLL
+# registers, dedup index row) together; corpus-level fit/drift/null
+# stats then update by merging kilobyte-to-megabyte sketch frames.
+
+#: shard-profile column contract — ``v`` NULL counts the column's nulls
+PROFILE_COLS = ("col", "v", "n")
+
+
+def quantize(col: str | Column, width: float) -> Column:
+    """Bucket a continuous column onto a bounded grid (bucket midpoint,
+    so downstream medians/quantiles land inside the data range): the
+    entry ticket to the bounded-domain profile contract for genuinely
+    continuous columns. Deterministic, null-preserving, and identical
+    arithmetic is expressible in any SQL engine for oracles:
+    (floor(x / width) + 0.5) * width."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        (F.floor(c.cast("double") / F.lit(float(width))) + F.lit(0.5))
+        * F.lit(float(width))
+    ).cast("double")
+
+
+def shard_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col, v:double, n:long) value-count histogram over ``cols``,
+    INCLUDING one ``v IS NULL`` cell per column carrying its null count
+    (unlike the fit-internal histogram, the profile must preserve null
+    rates and row counts: sum(n) per col == row count).
+
+    One scan however many columns: the melt explodes to |cols| cells per
+    row, and map-side partial aggregation collapses them before the
+    shuffle — exchanged bytes are bounded by the value domains. The
+    bounded-domain contract is the same as method='hist' fits; profile
+    genuinely continuous columns via their own quantize step first.
+    """
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(c).alias("c"), F.col(c).cast("double").alias("v"))
+                for c in cols
+            ]
+        )
+    )
+    return (
+        df.select(pairs.alias("p"))
+        .select(F.col("p.c").alias("col"), F.col("p.v").alias("v"))
+        .groupBy("col", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_profiles(*profiles: DataFrame) -> DataFrame:
+    """Cell-wise sum of shard profiles — the exact histogram of the
+    shards' union (addition is the histogram's merge operation)."""
+    out = profiles[0].select(*PROFILE_COLS)
+    for p in profiles[1:]:
+        out = out.unionByName(p.select(*PROFILE_COLS))
+    return out.groupBy("col", "v").agg(F.sum("n").alias("n"))
+
+
+def fit_from_profile(profile: DataFrame, cols: list[str] | None = None):
+    """{col: RobustStats} from a (merged) profile frame — numerically
+    IDENTICAL to fit_robust_multi(method='hist') over the full data,
+    because both reduce to _robust_from_hist on the same histogram.
+
+    The collect is guarded by the same MAX_HIST_CELLS ceiling as the
+    direct fit path (the profile is executor-side until the cell count
+    is verified bounded)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from autoprepad_spark.functions.stats import (
+        MAX_HIST_CELLS,
+        _robust_from_hist,
+    )
+
+    import numpy as np
+
+    hist = (
+        profile.filter(F.col("v").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        n_cells = hist.count()
+        if n_cells > MAX_HIST_CELLS:
+            raise ValueError(
+                f"profile exceeds {MAX_HIST_CELLS} distinct cells — "
+                "quantize continuous columns before shard_profile"
+            )
+        pdf = hist.toPandas()
+    finally:
+        hist.unpersist()
+    if cols is None:
+        cols = sorted(pdf["col"].unique())
+    out = {}
+    for c in cols:
+        sub = pdf[pdf["col"] == c]
+        out[c] = _robust_from_hist(
+            sub["v"].to_numpy(dtype=np.float64),
+            sub["n"].to_numpy(dtype=np.int64),
+        )
+    return out
+
+
+def profile_counts(profile: DataFrame) -> DataFrame:
+    """(col, n_rows, n_null, null_rate) from a profile frame — pure
+    aggregation, no collect (null cells were preserved by
+    shard_profile)."""
+    return profile.groupBy("col").agg(
+        F.sum("n").alias("n_rows"),
+        F.sum(F.when(F.col("v").isNull(), F.col("n")).otherwise(F.lit(0))).alias(
+            "n_null"
+        ),
+        (
+            F.sum(F.when(F.col("v").isNull(), F.col("n")).otherwise(F.lit(0)))
+            / F.sum("n")
+        ).alias("null_rate"),
     )

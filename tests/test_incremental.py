@@ -129,6 +129,108 @@ def test_index_update_roundtrip_equals_rebuild(spark, frames):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def _shard_frames(spark):
+    """Three shards of a numeric table with nulls and skewed domains."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (
+            int(i),
+            int(rng.integers(0, 40)) if i % 7 else None,
+            float(rng.integers(-5, 6)) if i % 11 else None,
+        )
+        for i in range(3_000)
+    ]
+    full = spark.createDataFrame(rows, ["doc_id", "a", "b"])
+    shards = [full.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    return full, shards
+
+
+def test_merged_shard_profiles_fit_equals_batch_fit(spark):
+    """fit_from_profile over merged shard profiles must equal
+    fit_robust_multi over the concatenated data EXACTLY (same
+    RobustStats dataclass values) — the no-rescan fit is not an
+    approximation."""
+    from autoprepad_spark.functions.stats import fit_robust_multi
+
+    full, shards = _shard_frames(spark)
+    merged = INC.merge_profiles(
+        *[INC.shard_profile(s, ["a", "b"]) for s in shards]
+    )
+    got = INC.fit_from_profile(merged)
+    want = fit_robust_multi(full, ["a", "b"])
+    assert got == want
+
+
+def test_profile_counts_match_duckdb(spark):
+    full, shards = _shard_frames(spark)
+    merged = INC.merge_profiles(
+        *[INC.shard_profile(s, ["a", "b"]) for s in shards]
+    )
+    got = {
+        r["col"]: (r["n_rows"], r["n_null"], round(r["null_rate"], 12))
+        for r in INC.profile_counts(merged).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", full.toPandas())
+    want = {
+        c: (n_rows, n_null, round(n_null / n_rows, 12))
+        for c, n_rows, n_null in con.execute(
+            """
+            SELECT 'a', count(*), count(*) - count(a) FROM t
+            UNION ALL SELECT 'b', count(*), count(*) - count(b) FROM t
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_quantize_matches_duckdb_and_bounds_domain(spark):
+    """Quantized continuous values land on bucket midpoints (bounded
+    domain: <= range/width cells) with DuckDB-identical arithmetic."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vals = [float(v) for v in rng.normal(10.0, 3.0, 5_000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = sorted(
+        (r["q"], r["n"])
+        for r in df.select(INC.quantize("x", 0.5).alias("q"))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"x": vals}))
+    want = sorted(
+        con.execute(
+            "SELECT (floor(x / 0.5) + 0.5) * 0.5 AS q, count(*) FROM t GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) < 60  # ~12-sigma range / 0.5 width
+
+
+def test_hll_merge_equals_single_pass(spark):
+    """Register-wise max over shard sketches must reproduce the
+    whole-corpus sketch bit-for-bit (estimate included)."""
+    from autoprepad_spark.functions.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    full, shards = _shard_frames(spark)
+    merged = hll_merge(*[hll_registers(s, ["doc_id", "a"]) for s in shards])
+    got = sorted(
+        tuple(r) for r in hll_estimate(merged).collect()
+    )
+    want = sorted(tuple(r) for r in hll_distinct(full, ["doc_id", "a"]).collect())
+    assert got == want
+
+
 def test_oversized_history_bucket_is_capped(spark):
     """10k identical historical docs form one giant band bucket; the cap
     must keep the candidate join bounded (the shard doc still drops via

@@ -55,6 +55,32 @@ def test_minhash_identical_docs_always_candidates(docs):
     assert (1, 4) not in cand and (2, 4) not in cand  # disjoint shingles
 
 
+def test_minhash_method_paths_identical(docs):
+    """agg (codegen explode+agg), map (per-row HOF mins), and explicit
+    shingle-frame paths must produce byte-identical signatures — same
+    hash family, same distinct-shingle set."""
+    base = {
+        r["doc_id"]: r["sig"]
+        for r in DD.minhash_signatures(docs, text_col="text", id_col="doc_id").collect()
+    }
+    via_map = {
+        r["doc_id"]: r["sig"]
+        for r in DD.minhash_signatures(
+            docs, text_col="text", id_col="doc_id", method="map"
+        ).collect()
+    }
+    via_frame = {
+        r["doc_id"]: r["sig"]
+        for r in DD.minhash_signatures(
+            docs,
+            text_col="text",
+            id_col="doc_id",
+            shingles=DD._shingle_hashes(docs, "text", "doc_id", 3),
+        ).collect()
+    }
+    assert base == via_map == via_frame
+
+
 def test_minhash_estimator_calibration(spark):
     """Signature-component match fraction must be an unbiased estimator
     of true Jaccard — the property the banding recall guarantee rests

@@ -7,9 +7,13 @@ whose 100-TB behavior the round briefs grade — so its scale story is
 measured, not argued:
 
     corpus -> exact_duplicates (md5 hash-groupBy)
-           -> shared shingle index -> minhash signatures
+           -> minhash signatures (map-only: per-row array mins, no
+              explode/shuffle/index cache — the plan shape that scales;
+              the shared-index aggregation variant measured 1.0x from
+              4x cores here, capped by the 120M-row index cache write)
            -> LSH banding (bucket-size cap active, production default)
-           -> exact-Jaccard verification of candidates
+           -> exact-Jaccard verification, candidate-pruned BEFORE
+              shingling (only ~|candidates| docs are ever exploded)
            -> connected components -> keep-one-per-cluster
 
 Usage:
@@ -106,17 +110,15 @@ def run_worker(cores: int, rows: int) -> None:
     # warmup pass on a slice: JIT the codegen'd shingle/minhash loops
     warm = docs.filter(F.col("doc_id") < 50_000)
     DD.exact_duplicates(warm).count()
-    wsh = DD._shingle_hashes(warm, "text", "doc_id", 3).cache()
     DD.verify_pairs_jaccard(
         warm,
-        DD.minhash_candidates(DD.minhash_signatures(warm, shingles=wsh).cache()),
-        threshold=0.8, shingles=wsh, assume_distinct=True,
+        DD.minhash_candidates(DD.minhash_signatures(warm).cache()),
+        threshold=0.8,
     ).count()
-    wsh.unpersist()
 
     best = float("inf")
     stages_best = None
-    for _ in range(2):
+    for _ in range(int(os.environ.get("DEDUP_REPEATS", "2"))):
         spark.catalog.clearCache()
         stages = {}
         t0 = t = time.perf_counter()
@@ -124,19 +126,19 @@ def run_worker(cores: int, rows: int) -> None:
         stages["exact"] = round(time.perf_counter() - t, 2)
 
         t = time.perf_counter()
-        sh = DD._shingle_hashes(docs, "text", "doc_id", 3)
-        if not os.environ.get("DEDUP_NO_SHINGLE_CACHE"):
-            sh = sh.cache()
-        sigs = DD.minhash_signatures(docs, shingles=sh).cache()
+        # map-only signatures: per-row mins over the shingle array — no
+        # explode, no shuffle, no index materialization
+        sigs = DD.minhash_signatures(docs).cache()
         sigs.count()
-        stages["shingle_minhash"] = round(time.perf_counter() - t, 2)
+        stages["minhash_sigs"] = round(time.perf_counter() - t, 2)
 
         t = time.perf_counter()
         # cached: the verify prune reads the candidate frame twice
         cands = DD.minhash_candidates(sigs).cache()  # bucket cap active
-        pairs = DD.verify_pairs_jaccard(
-            docs, cands, threshold=0.8, shingles=sh, assume_distinct=True
-        ).cache()
+        # shingles built fresh INSIDE verify from the candidate-pruned
+        # doc set (prune_index default): |candidates| docs exploded,
+        # never the corpus
+        pairs = DD.verify_pairs_jaccard(docs, cands, threshold=0.8).cache()
         n_pairs = pairs.count()
         cands.unpersist()
         stages["lsh_verify"] = round(time.perf_counter() - t, 2)
@@ -154,9 +156,8 @@ def run_worker(cores: int, rows: int) -> None:
         elapsed = time.perf_counter() - t0
         if elapsed < best:
             best, stages_best = elapsed, stages
-        for c in (sh, sigs, pairs):
-            if not os.environ.get("DEDUP_NO_SHINGLE_CACHE") or c is not sh:
-                c.unpersist()
+        for c in (sigs, pairs):
+            c.unpersist()
 
     print(json.dumps({
         "cores": cores,
