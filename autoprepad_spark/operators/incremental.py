@@ -138,6 +138,154 @@ def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
     return matches / F.size(sig_a).cast("double")
 
 
+def split_exact_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefilter_history: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The exact pass alone: ``(fresh, exact_dropped)``.
+
+    fresh = new_docs + a ``content_hash`` column, minus rows whose hash
+    is already indexed (one anti-join on 8-byte keys); exact_dropped =
+    the audit rows for the removed ones. Exposed separately so callers
+    that need BOTH kept and dropped outputs can persist the (shard-
+    bounded) intermediates between the passes — see run_shard_dedup.
+
+    ``prefilter_history`` (the shard-driving-side trick): a plain
+    ``shard ANTI JOIN index`` cannot broadcast — Spark builds the RIGHT
+    side of a left-anti hash join, and the right side is the (huge)
+    history — so an unbucketed index gets FULLY SHUFFLED on every
+    shard: O(|history|) exchanged bytes to answer an O(|shard|)
+    question. The prefilter instead semi-joins the history against a
+    BROADCAST of the shard's distinct hashes first: the history is only
+    SCANNED (the semi join is map-side against the broadcast, no
+    exchange), the survivors are at most |shard| rows, and both the
+    semi and anti joins against the shard then broadcast naturally.
+    Exchanged bytes drop from O(|history|) to O(|shard|). The broadcast
+    is |shard| 8-byte hashes — shards are bounded by contract (a 10M-doc
+    shard is ~80 MB); disable for unbounded "shards" or when the index
+    is bucketed by content_hash (then the storage-partitioned join is
+    already exchange-free and strictly better).
+    """
+    new_hashed = new_docs.withColumn("content_hash", content_hash(text_col))
+    # no distinct on the HISTORY side ever: semi/anti semantics ignore
+    # build-side duplicates, and a distinct would shuffle the history
+    idx_hashes = index.select("content_hash")
+    if prefilter_history:
+        shard_hashes = F.broadcast(new_hashed.select("content_hash").distinct())
+        idx_hashes = idx_hashes.join(shard_hashes, "content_hash", "left_semi")
+    exact_dropped = new_hashed.join(idx_hashes, "content_hash", "left_semi").select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("exact").alias("reason"),
+        F.lit(None).cast("long").alias("matched_id"),
+        F.lit(None).cast("double").alias("est_jaccard"),
+    )
+    fresh = new_hashed.join(idx_hashes, "content_hash", "left_anti")
+    return fresh, exact_dropped
+
+
+def near_dedup_against_index(
+    fresh: DataFrame,
+    index: DataFrame,
+    *,
+    sigs_new: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    prefilter_history: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The near pass alone over exact-surviving docs:
+    ``(kept, near_dropped)``.
+
+    ``sigs_new``: precomputed ``minhash_signatures(fresh, ...)`` —
+    pass a CACHED frame when you will materialize both outputs, so the
+    signature computation (the shard's heaviest map work) runs once
+    instead of once per output. Parameters must match the index's hash
+    family; see dedup_against_index.
+
+    ``prefilter_history``: same shard-driving-side trick as
+    split_exact_against_index, applied to the band join — the history's
+    |history| x bands bucket rows are semi-joined map-side against a
+    broadcast of the shard's distinct (band, bucket) keys before the
+    oversized-bucket count and the candidate equi-join, so the history
+    is scanned, never exchanged. The bucket-cap counts are unchanged
+    for every surviving bucket (the semi join keeps ALL history rows of
+    a kept bucket), and dropped buckets produce no candidates either
+    way — results are identical, proven by pytest. NOTE: the broadcast
+    subquery re-derives ``sigs_new``'s band keys; pass a cached
+    ``sigs_new`` (run_shard_dedup does) so that costs one in-memory
+    scan, not a recompute.
+    """
+    if sigs_new is None:
+        sigs_new = minhash_signatures(
+            fresh,
+            text_col=text_col,
+            id_col=id_col,
+            k_shingle=k_shingle,
+            num_hashes=num_hashes,
+            seed=seed,
+        )
+    b_new = _band_buckets(sigs_new, id_col, bands, num_hashes)
+    b_idx = _band_buckets(
+        index.select(F.col("doc_id"), F.col("sig")), "doc_id", bands, num_hashes
+    )
+    if prefilter_history:
+        shard_buckets = F.broadcast(b_new.select("band", "bucket").distinct())
+        b_idx = b_idx.join(shard_buckets, ["band", "bucket"], "left_semi")
+    if max_bucket_size is not None:
+        # cap on the HISTORY side: an oversized historical bucket is a
+        # boilerplate cluster; any shard doc landing in it meets the cap
+        # count long before it meets every member (same rationale as
+        # minhash_candidates). Aggregated counts, no window over history.
+        bucket_n = b_idx.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        b_idx = (
+            b_idx.join(bucket_n, ["band", "bucket"])
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    cand = (
+        b_new.join(b_idx.withColumnRenamed("_id", "_old"), ["band", "bucket"])
+        .select(F.col("_id").alias("new_id"), F.col("_old").alias("old_id"))
+        .distinct()
+    )
+    # signatures join back only for pair participants (both sides are
+    # candidate-pruned — the verify_pairs_jaccard argument)
+    s_new = sigs_new.select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_new")
+    ).join(cand.select("new_id").distinct(), "new_id", "left_semi")
+    s_old = index.select(
+        F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old")
+    ).join(cand.select("old_id").distinct(), "old_id", "left_semi")
+    scored = (
+        cand.join(s_new, "new_id")
+        .join(s_old, "old_id")
+        .withColumn("est_jaccard", estimated_jaccard("sig_new", "sig_old"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    near_dropped = (
+        scored.groupBy("new_id")
+        .agg(F.max(F.struct("est_jaccard", F.col("old_id"))).alias("m"))
+        .select(
+            F.col("new_id").alias("doc_id"),
+            F.lit("near").alias("reason"),
+            F.col("m.old_id").alias("matched_id"),
+            F.round(F.col("m.est_jaccard"), 9).alias("est_jaccard"),
+        )
+    )
+    kept = fresh.join(
+        near_dropped.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    ).join(sigs_new, id_col)
+    return kept, near_dropped
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     index: DataFrame,
@@ -150,6 +298,7 @@ def dedup_against_index(
     bands: int = 8,
     threshold: float = 0.8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    prefilter_history: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a new shard against the historical index.
 
@@ -180,82 +329,96 @@ def dedup_against_index(
     null-text doc has no signature and would drop out of ``kept``'s
     signature join — see build_dedup_index's null note).
     """
-    new_hashed = new_docs.withColumn("content_hash", content_hash(text_col))
-    # no distinct: semi/anti join semantics ignore build-side duplicates,
-    # and a distinct here would be a full shuffle of the history
-    idx_hashes = index.select("content_hash")
-    exact_dropped = (
-        new_hashed.join(idx_hashes, "content_hash", "left_semi")
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.lit("exact").alias("reason"),
-            F.lit(None).cast("long").alias("matched_id"),
-            F.lit(None).cast("double").alias("est_jaccard"),
-        )
+    fresh, exact_dropped = split_exact_against_index(
+        new_docs,
+        index,
+        text_col=text_col,
+        id_col=id_col,
+        prefilter_history=prefilter_history,
     )
-    fresh = new_hashed.join(idx_hashes, "content_hash", "left_anti")
+    kept, near_dropped = near_dedup_against_index(
+        fresh,
+        index,
+        text_col=text_col,
+        id_col=id_col,
+        k_shingle=k_shingle,
+        num_hashes=num_hashes,
+        seed=seed,
+        bands=bands,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+        prefilter_history=prefilter_history,
+    )
+    return kept, exact_dropped.unionByName(near_dropped)
 
-    sigs_new = minhash_signatures(
+
+def run_shard_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    kept_sink,
+    dropped_sink,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    prefilter_history: bool = True,
+) -> None:
+    """Materialize BOTH shard-dedup outputs with the heavy work running
+    once — the production driver around the plan-building operators.
+
+    ``dedup_against_index`` returns two lazy frames whose plans share
+    the signature computation and the band join; two independent
+    actions would re-run that subtree per output (measured ~2.5x on an
+    8M-doc corpus). This driver owns materialization (the repo-wide
+    split: operators build plans, drivers own caches): it persists the
+    shard signatures (|shard| rows of 264 B) and the near-drop verdicts
+    (tiny), writes both sinks, and unpersists. ``kept_sink`` /
+    ``dropped_sink`` are callables ``DataFrame -> None`` (e.g.
+    ``lambda d: d.write.parquet(...)``).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    fresh, exact_dropped = split_exact_against_index(
+        new_docs,
+        index,
+        text_col=text_col,
+        id_col=id_col,
+        prefilter_history=prefilter_history,
+    )
+    sigs = minhash_signatures(
         fresh,
         text_col=text_col,
         id_col=id_col,
         k_shingle=k_shingle,
         num_hashes=num_hashes,
         seed=seed,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    kept, near_dropped = near_dedup_against_index(
+        fresh,
+        index,
+        sigs_new=sigs,
+        text_col=text_col,
+        id_col=id_col,
+        k_shingle=k_shingle,
+        num_hashes=num_hashes,
+        seed=seed,
+        bands=bands,
+        threshold=threshold,
+        max_bucket_size=max_bucket_size,
+        prefilter_history=prefilter_history,
     )
-    b_new = _band_buckets(sigs_new, id_col, bands, num_hashes)
-    b_idx = _band_buckets(
-        index.select(F.col("doc_id"), F.col("sig")), "doc_id", bands, num_hashes
-    )
-    if max_bucket_size is not None:
-        # cap on the HISTORY side: an oversized historical bucket is a
-        # boilerplate cluster; any shard doc landing in it meets the cap
-        # count long before it meets every member (same rationale as
-        # minhash_candidates). Aggregated counts, no window over history.
-        bucket_n = b_idx.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        b_idx = (
-            b_idx.join(bucket_n, ["band", "bucket"])
-            .filter(F.col("_bn") <= max_bucket_size)
-            .drop("_bn")
-        )
-    cand = (
-        b_new.join(b_idx.withColumnRenamed("_id", "_old"), ["band", "bucket"])
-        .select(F.col("_id").alias("new_id"), F.col("_old").alias("old_id"))
-        .distinct()
-    )
-    # signatures join back only for pair participants (both sides are
-    # candidate-pruned — the verify_pairs_jaccard argument)
-    s_new = sigs_new.select(
-        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_new")
-    ).join(cand.select("new_id").distinct(), "new_id", "left_semi")
-    s_old = index.select(
-        F.col("doc_id").alias("old_id"), F.col("sig").alias("sig_old")
-    ).join(cand.select("old_id").distinct(), "old_id", "left_semi")
-    scored = (
-        cand.join(s_new, "new_id")
-        .join(s_old, "old_id")
-        .withColumn("est_jaccard", estimated_jaccard("sig_new", "sig_old"))
-        .filter(F.col("est_jaccard") >= threshold)
-    )
-    near_dropped = (
-        scored.groupBy("new_id")
-        .agg(
-            F.max(F.struct("est_jaccard", F.col("old_id"))).alias("m"),
-        )
-        .select(
-            F.col("new_id").alias("doc_id"),
-            F.lit("near").alias("reason"),
-            F.col("m.old_id").alias("matched_id"),
-            F.round(F.col("m.est_jaccard"), 9).alias("est_jaccard"),
-        )
-    )
-    dropped = exact_dropped.unionByName(near_dropped)
-    kept = fresh.join(
-        near_dropped.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
-    ).join(sigs_new, id_col)
-    return kept, dropped
+    near_dropped = near_dropped.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        dropped_sink(exact_dropped.unionByName(near_dropped))
+        kept_sink(kept)
+    finally:
+        near_dropped.unpersist()
+        sigs.unpersist()
 
 
 def append_to_index(

@@ -294,3 +294,162 @@ def stream_dedup(
         .dropDuplicatesWithinWatermark(["_text_hash"])
         .drop("_text_hash")
     )
+
+
+def stream_dedup_against_index(
+    spark: SparkSession,
+    input_path: str,
+    *,
+    schema: T.StructType,
+    index_path: str,
+    kept_path: str,
+    dropped_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+    bands: int = 8,
+    threshold: float = 0.8,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming ingest dedup against the PERSISTED sketch index — the
+    streaming face of operators/incremental.py: each micro-batch of
+    arriving docs is (1) exact-deduped within the batch (keep-first by
+    id), (2) deduped against everything ever accepted via
+    ``dedup_against_index`` (one content-hash anti-join + band-bucket
+    lookup — the historical text is never read), and (3) the kept rows'
+    (doc_id, content_hash, sig) rows are appended to the index, so the
+    NEXT batch sees them as history. Near-dups that arrive within one
+    batch are intentionally both kept (intra-batch near-dedup would be
+    the full batch pipeline; they are caught if either text re-arrives
+    later) — the standard lambda split, same as ``stream_dedup``'s
+    watermark horizon note.
+
+    Restart safety / idempotence: every sink (kept docs, dropped audit,
+    index rows) is hive-partitioned by ``ingest_batch`` and written
+    with dynamic partition overwrite, so a batch replayed after a crash
+    OVERWRITES its own partition instead of duplicating it; the index
+    read EXCLUDES the current batch's partition, so a replayed batch
+    never sees its own half-written output as history (partition
+    pruning makes both properties metadata-level). Seed the index by
+    writing ``build_dedup_index(corpus)`` under ``ingest_batch=-1``
+    (see ``seed_index``).
+
+    At scale the index read is columnar and partition-pruned; its band
+    buckets rebuild per batch as a pure expression over ``sig`` —
+    kilobytes per historical doc, no text. Returns the StreamingQuery.
+    """
+    import os
+
+    from pyspark.sql import Window as W
+
+    from autoprepad_spark.operators import incremental as INC
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 1000)
+        .parquet(input_path)
+    )
+    index_schema = T.StructType(
+        [
+            T.StructField("doc_id", schema[id_col].dataType),
+            T.StructField("content_hash", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _sink(df: DataFrame, path: str, batch_id: int) -> None:
+        (
+            df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(path)
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.isdir(index_path) and any(
+            d.startswith("ingest_batch=") for d in os.listdir(index_path)
+        ):
+            idx = (
+                spark.read.parquet(index_path)
+                .filter(F.col("ingest_batch") != batch_id)
+                .select(*INC.INDEX_COLS)
+            )
+        else:
+            idx = spark.createDataFrame([], index_schema)
+        # intra-batch exact keep-first (deterministic: smallest id wins)
+        hashed = batch_df.withColumn("_ch", INC.content_hash(text_col))
+        rn = F.row_number().over(W.partitionBy("_ch").orderBy(id_col))
+        uniq = (
+            hashed.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+        )
+        in_batch_dropped = (
+            hashed.withColumn("_rn", rn)
+            .filter(F.col("_rn") > 1)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.lit("exact_in_batch").alias("reason"),
+                # long: matches dedup_against_index's dropped schema
+                F.lit(None).cast("long").alias("matched_id"),
+                F.lit(None).cast("double").alias("est_jaccard"),
+            )
+        )
+        uniq = uniq.drop("_ch").cache()
+
+        def kept_sink(kept: DataFrame) -> None:
+            kept = kept.cache()
+            _sink(
+                kept.select(F.col(id_col).alias("doc_id"), "content_hash", "sig"),
+                index_path,
+                batch_id,
+            )
+            _sink(kept.drop("content_hash", "sig"), kept_path, batch_id)
+            kept.unpersist()
+
+        def dropped_sink(dropped: DataFrame) -> None:
+            _sink(dropped.unionByName(in_batch_dropped), dropped_path, batch_id)
+
+        try:
+            # run_shard_dedup owns intermediate persistence: signatures
+            # and near-verdicts compute once across the two sinks
+            INC.run_shard_dedup(
+                uniq,
+                idx,
+                kept_sink=kept_sink,
+                dropped_sink=dropped_sink,
+                text_col=text_col,
+                id_col=id_col,
+                k_shingle=k_shingle,
+                num_hashes=num_hashes,
+                seed=seed,
+                bands=bands,
+                threshold=threshold,
+            )
+        finally:
+            uniq.unpersist()
+
+    writer = (
+        reader.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def seed_index(index: DataFrame, index_path: str) -> None:
+    """Persist an initial history (e.g. build_dedup_index over the
+    existing corpus) in the layout stream_dedup_against_index reads:
+    hive-partitioned under ingest_batch=-1."""
+    (
+        index.withColumn("ingest_batch", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(index_path)
+    )

@@ -129,6 +129,54 @@ def test_index_update_roundtrip_equals_rebuild(spark, frames):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def _collected(kept, dropped):
+    return (
+        sorted(r["doc_id"] for r in kept.select("doc_id").collect()),
+        sorted(tuple(r) for r in dropped.collect()),
+    )
+
+
+def test_prefilter_history_identical_results(spark, frames):
+    """The shard-driving-side prefilter (broadcast semi-join of the
+    history against shard keys) must not change ANY output row."""
+    hist, shard, index = frames
+    with_pf = _collected(
+        *INC.dedup_against_index(shard, index, threshold=0.8, prefilter_history=True)
+    )
+    without = _collected(
+        *INC.dedup_against_index(shard, index, threshold=0.8, prefilter_history=False)
+    )
+    assert with_pf == without
+
+
+def test_prefilter_preserves_bucket_cap_semantics(spark):
+    """Bucket-cap counts are computed over surviving buckets only under
+    the prefilter; they must still reflect FULL history bucket sizes —
+    a shard NEAR-dup landing in an oversized boilerplate bucket stays
+    kept (bucket dropped) with and without the prefilter."""
+    hist = spark.createDataFrame(
+        [(i, "the same boilerplate page " * 10) for i in range(2_000)],
+        ["doc_id", "text"],
+    )
+    index = INC.build_dedup_index(hist)
+    shard = spark.createDataFrame(
+        # near variant: not an exact dup, shares most shingles
+        [(99_999, "the same boilerplate page " * 10 + "extra words here")],
+        ["doc_id", "text"],
+    )
+    outs = [
+        _collected(
+            *INC.dedup_against_index(
+                shard, index, threshold=0.8, prefilter_history=pf
+            )
+        )
+        for pf in (True, False)
+    ]
+    assert outs[0] == outs[1]
+    kept_ids, dropped_rows = outs[0]
+    assert kept_ids == [99_999] and dropped_rows == []
+
+
 def _shard_frames(spark):
     """Three shards of a numeric table with nulls and skewed domains."""
     import numpy as np

@@ -18,7 +18,18 @@ measured, not argued:
 
 Usage:
     python tools/dedup_scale.py [rows] [n_cores] [n4_cores]
+    python tools/dedup_scale.py --inc [rows] [n_cores] [n4_cores]
 Internal worker modes (mirrors bench.py): --gen rows | --worker cores rows
+    | --inc-worker cores rows
+
+--inc measures the INCREMENTAL (shard-vs-history) path of
+operators/incremental.py: history = docs [0, 3/4*rows) indexed once;
+shard = docs [5/8*rows, 7/8*rows) with ids remapped (+10^9), so HALF
+the shard is an exact re-arrival of historical content and half is
+fresh. Timed phases per parallelism level: (a) build_dedup_index over
+the history, (b) dedup_against_index of the shard (exact anti-join
+drops the re-arrivals BEFORE any shingling — the pass-ordering claim,
+measured). Outputs must be hash-identical across levels.
 
 The corpus is deterministic and parallelism-independent (chunk-seeded
 mapInPandas, same pattern as datagen.generate_tokens): every 50th doc is
@@ -172,6 +183,150 @@ def run_worker(cores: int, rows: int) -> None:
     }))
 
 
+def _shuffle_write_bytes(spark) -> int | None:
+    """Cumulative shuffle-write bytes across completed stages (UI REST
+    API) — snapshot before/after a phase to get its exchanged bytes,
+    the metric that predicts cluster (network-bound) behavior where
+    local wall-time cannot."""
+    import urllib.request
+
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+        app = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages")
+        )
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return None
+
+
+def run_inc_worker(cores: int, rows: int) -> None:
+    from pyspark.sql import functions as F
+
+    from autoprepad_spark.operators import incremental as INC
+    from autoprepad_spark.session import get_spark
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    os.environ.setdefault("SPARK_JAVA_OPTS", "-XX:+UseG1GC")
+    spark = get_spark(f"dedup-inc-{cores}", cores=cores)
+    docs = spark.read.parquet(_path(rows))
+    h_hi = rows * 3 // 4
+    s_lo, s_hi = rows * 5 // 8, rows * 7 // 8
+    history = docs.filter(F.col("doc_id") < h_hi)
+    shard = docs.filter(
+        (F.col("doc_id") >= s_lo) & (F.col("doc_id") < s_hi)
+    ).select((F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text")
+
+    # warmup: JIT the codegen paths on a slice
+    INC.dedup_against_index(
+        shard.filter(F.col("doc_id") < 1_000_000_000 + s_lo + 20_000),
+        INC.build_dedup_index(history.filter(F.col("doc_id") < 20_000)),
+    )[1].count()
+
+    idx_path = os.path.join(
+        os.environ.get("SPARK_BENCH_TMP", "/tmp"), f"dedup_idx_{rows}_{cores}"
+    )
+    t = time.perf_counter()
+    INC.build_dedup_index(history).write.mode("overwrite").parquet(idx_path)
+    t_index = round(time.perf_counter() - t, 2)
+
+    index = spark.read.parquet(idx_path)
+    out = {}
+
+    def dropped_sink(d):
+        out["dropped"] = {
+            r["reason"]: {"n": r["n"], "h": str(r["h"])}
+            for r in d.groupBy("reason").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.xxhash64(F.col("doc_id").cast("string")).cast("decimal(38,0)")
+                ).alias("h"),
+            ).collect()
+        }
+
+    def kept_sink(k):
+        r = k.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col("doc_id").cast("string")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        out["n_kept"], out["kept_hash"] = r["n"], str(r["h"])
+
+    sw0 = _shuffle_write_bytes(spark)
+    t = time.perf_counter()
+    INC.run_shard_dedup(
+        shard,
+        index,
+        kept_sink=kept_sink,
+        dropped_sink=dropped_sink,
+        threshold=0.8,
+        # A/B knob: measure the O(|history|)-exchange plan the
+        # prefilter replaces
+        prefilter_history=not os.environ.get("DEDUP_NO_PREFILTER"),
+    )
+    t_shard = round(time.perf_counter() - t, 2)
+    sw1 = _shuffle_write_bytes(spark)
+    shuffle_mb = (
+        round((sw1 - sw0) / 1024 / 1024, 1) if sw0 is not None and sw1 is not None
+        else None
+    )
+
+    import shutil
+
+    shutil.rmtree(idx_path, ignore_errors=True)
+    n_shard = s_hi - s_lo
+    print(json.dumps({
+        "cores": cores,
+        "rows_history": h_hi,
+        "rows_shard": n_shard,
+        "index_build_sec": t_index,
+        "shard_dedup_sec": t_shard,
+        "shard_docs_per_sec": round(n_shard / t_shard, 1),
+        "shard_shuffle_write_mb": shuffle_mb,
+        "dropped": out["dropped"],
+        "n_kept": out["n_kept"],
+        "kept_hash": out["kept_hash"],
+    }))
+
+
+def main_inc(rows: int, n_cores: int, n4_cores: int) -> None:
+    if not os.path.exists(os.path.join(_path(rows), "_SUCCESS")):
+        subprocess.run(
+            [sys.executable, __file__, "--gen", str(rows)], check=True, cwd=REPO
+        )
+    results = {}
+    for cores in (n_cores, n4_cores):
+        cmd = [sys.executable, __file__, "--inc-worker", str(cores), str(rows)]
+        if os.path.exists("/usr/bin/taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            print(p.stdout, p.stderr, file=sys.stderr)
+            raise SystemExit(f"inc worker cores={cores} failed")
+        results[cores] = json.loads(line[-1])
+        print(f"# local[{cores}]: index {results[cores]['index_build_sec']}s, "
+              f"shard {results[cores]['shard_dedup_sec']}s", file=sys.stderr)
+    rn, rn4 = results[n_cores], results[n4_cores]
+    eff = (
+        rn4["shard_docs_per_sec"] / rn["shard_docs_per_sec"]
+    ) / (n4_cores / n_cores)
+    identical = all(
+        rn[k] == rn4[k] for k in ("dropped", "n_kept", "kept_hash")
+    )
+    print(json.dumps({
+        "metric": f"incremental_dedup_scaling_local{n_cores}_vs_local{n4_cores}",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "rows": rows,
+        "n": rn, "n4": rn4,
+        "outputs_identical": identical,
+    }))
+
+
 def main(rows: int, n_cores: int, n4_cores: int) -> None:
     # the corpus is deterministic in (SEED, rows), so an existing
     # committed write (parquet _SUCCESS marker) can be reused verbatim
@@ -214,6 +369,16 @@ if __name__ == "__main__":
         run_gen(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--worker":
         run_worker(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--inc-worker":
+        run_inc_worker(int(sys.argv[2]), int(sys.argv[3]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--inc":
+        rows = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
+        n, n4 = (
+            (int(sys.argv[3]), int(sys.argv[4]))
+            if len(sys.argv) > 4
+            else (2, 8)
+        )
+        main_inc(rows, n, n4)
     else:
         rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
         n, n4 = (
