@@ -210,10 +210,24 @@ def run_inc_worker(cores: int, rows: int) -> None:
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     os.environ.setdefault("SPARK_JAVA_OPTS", "-XX:+UseG1GC")
-    spark = get_spark(f"dedup-inc-{cores}", cores=cores)
+    # UI on: _shuffle_write_bytes reads the stage metrics REST endpoint
+    spark = get_spark(
+        f"dedup-inc-{cores}",
+        cores=cores,
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     docs = spark.read.parquet(_path(rows))
     h_hi = rows * 3 // 4
-    s_lo, s_hi = rows * 5 // 8, rows * 7 // 8
+    # DEDUP_SHARD_ROWS pins the shard size while `rows` grows the
+    # history — the O(|shard|)-vs-O(|history|) exchanged-bytes claim is
+    # tested by holding the shard fixed and doubling the history. The
+    # window stays centered on h_hi so half the shard re-arrives
+    # (matching the default 5/8..7/8 split at shard = rows/4).
+    if os.environ.get("DEDUP_SHARD_ROWS"):
+        shard_n = int(os.environ["DEDUP_SHARD_ROWS"])
+        s_lo, s_hi = h_hi - shard_n // 2, h_hi + shard_n // 2
+    else:
+        s_lo, s_hi = rows * 5 // 8, rows * 7 // 8
     history = docs.filter(F.col("doc_id") < h_hi)
     shard = docs.filter(
         (F.col("doc_id") >= s_lo) & (F.col("doc_id") < s_hi)
@@ -235,6 +249,8 @@ def run_inc_worker(cores: int, rows: int) -> None:
     index = spark.read.parquet(idx_path)
     out = {}
 
+    t_phase = [0.0]
+
     def dropped_sink(d):
         out["dropped"] = {
             r["reason"]: {"n": r["n"], "h": str(r["h"])}
@@ -245,6 +261,9 @@ def run_inc_worker(cores: int, rows: int) -> None:
                 ).alias("h"),
             ).collect()
         }
+        # phase split: run_shard_dedup materializes dropped first, kept
+        # second — this timestamp is the boundary between the two
+        out["dropped_phase_sec"] = round(time.perf_counter() - t_phase[0], 2)
 
     def kept_sink(k):
         r = k.agg(
@@ -256,7 +275,7 @@ def run_inc_worker(cores: int, rows: int) -> None:
         out["n_kept"], out["kept_hash"] = r["n"], str(r["h"])
 
     sw0 = _shuffle_write_bytes(spark)
-    t = time.perf_counter()
+    t = t_phase[0] = time.perf_counter()
     INC.run_shard_dedup(
         shard,
         index,
@@ -284,6 +303,7 @@ def run_inc_worker(cores: int, rows: int) -> None:
         "rows_shard": n_shard,
         "index_build_sec": t_index,
         "shard_dedup_sec": t_shard,
+        "dropped_phase_sec": out.get("dropped_phase_sec"),
         "shard_docs_per_sec": round(n_shard / t_shard, 1),
         "shard_shuffle_write_mb": shuffle_mb,
         "dropped": out["dropped"],
