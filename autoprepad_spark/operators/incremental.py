@@ -100,6 +100,63 @@ def build_dedup_index(
     return hashes.join(sigs.withColumnRenamed(id_col, "doc_id"), "doc_id")
 
 
+def write_bucketed_index(
+    index: DataFrame,
+    table: str,
+    *,
+    buckets: int = 256,
+    bands: int = 8,
+    num_hashes: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist the sketch index as TWO bucketed catalog tables — the
+    storage layout that makes every history-side join in the shard
+    pass exchange-free WITHOUT the broadcast prefilter:
+
+      {table}        (doc_id, content_hash, sig)  bucketed by content_hash
+      {table}_bands  (doc_id, band, bucket)       bucketed by (band, bucket)
+
+    A scan of a table bucketed on the join keys already satisfies the
+    join's required distribution, so the sort-merge join reads the
+    history in place and only the (small) shard side is exchanged —
+    `Bucketed: true` and zero Exchange above the history scan in the
+    physical plan (asserted by tests). The banded table additionally
+    makes the oversized-bucket count and the bucket-cap join
+    exchange-free, because groupBy(band, bucket) is satisfied by the
+    same partitioning. Prefer this over ``prefilter_history`` when the
+    index lives in a real catalog (Hive/Iceberg/Glue) and shards are
+    large or frequent: the prefilter broadcasts |shard| keys to every
+    executor per shard, the bucketed layout pays nothing per shard.
+    ``buckets`` should put one bucket's rows well inside an executor's
+    memory at full history size (10^12 docs x 272 B of key+sig →
+    O(10^4) buckets; the default suits sandbox scale). ``path`` makes
+    the tables external (tests point it at a tmpdir); the in-memory
+    session catalog is process-local — production uses a persistent
+    metastore, same code path.
+    """
+    w = index.write.mode("overwrite").format("parquet")
+    if path:
+        w = w.option("path", f"{path}/{table}")
+    w.bucketBy(buckets, "content_hash").sortBy("content_hash").saveAsTable(table)
+    banded = _band_buckets(
+        index.select(F.col("doc_id"), F.col("sig")), "doc_id", bands, num_hashes
+    ).select(F.col("_id").alias("doc_id"), "band", "bucket")
+    wb = banded.write.mode("overwrite").format("parquet")
+    if path:
+        wb = wb.option("path", f"{path}/{table}_bands")
+    wb.bucketBy(buckets, "band", "bucket").sortBy("band", "bucket").saveAsTable(
+        f"{table}_bands"
+    )
+
+
+def read_bucketed_index(spark, table: str) -> tuple[DataFrame, DataFrame]:
+    """(index, banded_index) frames for the pair written by
+    write_bucketed_index — pass them to dedup_against_index /
+    run_shard_dedup as (index=..., banded_index=...) with
+    ``prefilter_history=False``."""
+    return spark.table(table), spark.table(f"{table}_bands")
+
+
 def _band_buckets(
     sigs: DataFrame, id_col: str, bands: int, num_hashes: int
 ) -> DataFrame:
@@ -211,9 +268,15 @@ def near_dedup_against_index(
     threshold: float = 0.8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     prefilter_history: bool = True,
+    banded_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The near pass alone over exact-surviving docs:
     ``(kept, near_dropped)``.
+
+    ``banded_index``: a precomputed (doc_id, band, bucket) frame — pass
+    the `{table}_bands` table from write_bucketed_index (with
+    ``prefilter_history=False``) and the band join, bucket-cap count,
+    and cap join all read the history in place with no exchange.
 
     ``sigs_new``: precomputed ``minhash_signatures(fresh, ...)`` —
     pass a CACHED frame when you will materialize both outputs, so the
@@ -244,9 +307,14 @@ def near_dedup_against_index(
             seed=seed,
         )
     b_new = _band_buckets(sigs_new, id_col, bands, num_hashes)
-    b_idx = _band_buckets(
-        index.select(F.col("doc_id"), F.col("sig")), "doc_id", bands, num_hashes
-    )
+    if banded_index is not None:
+        b_idx = banded_index.select(
+            F.col("doc_id").alias("_id"), "band", "bucket"
+        )
+    else:
+        b_idx = _band_buckets(
+            index.select(F.col("doc_id"), F.col("sig")), "doc_id", bands, num_hashes
+        )
     if prefilter_history:
         shard_buckets = F.broadcast(b_new.select("band", "bucket").distinct())
         b_idx = b_idx.join(shard_buckets, ["band", "bucket"], "left_semi")
@@ -316,6 +384,7 @@ def dedup_against_index(
     threshold: float = 0.8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     prefilter_history: bool = True,
+    banded_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup a new shard against the historical index.
 
@@ -365,6 +434,7 @@ def dedup_against_index(
         threshold=threshold,
         max_bucket_size=max_bucket_size,
         prefilter_history=prefilter_history,
+        banded_index=banded_index,
     )
     return kept, exact_dropped.unionByName(near_dropped)
 
@@ -384,6 +454,7 @@ def run_shard_dedup(
     threshold: float = 0.8,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     prefilter_history: bool = True,
+    banded_index: DataFrame | None = None,
 ) -> None:
     """Materialize BOTH shard-dedup outputs with the heavy work running
     once — the production driver around the plan-building operators.
@@ -432,6 +503,7 @@ def run_shard_dedup(
         threshold=threshold,
         max_bucket_size=max_bucket_size,
         prefilter_history=prefilter_history,
+        banded_index=banded_index,
     )
     near_dropped = near_dropped.persist(StorageLevel.MEMORY_AND_DISK)
     try:
