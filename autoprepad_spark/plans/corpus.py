@@ -68,6 +68,9 @@ def clean_corpus(
     min_chars: int | None = None,
     max_chars: int | None = None,
     max_punct_ratio: float | None = None,
+    lm_model: dict | None = None,
+    max_ppl: float | None = None,
+    lm_backoff: float = 0.1,
 ) -> tuple[DataFrame, DataFrame]:
     """Compose the cleaning stages; returns ``(clean, audit)``.
 
@@ -94,6 +97,11 @@ def clean_corpus(
     * repetition gates — Gopher signals (text.repetition_profile
       columns), each enabled by passing its threshold.
     * quality gates — length bounds + punctuation-ratio bound.
+    * ``lm_model`` + ``max_ppl`` — CCNet-style perplexity gate under a
+      fitted lm_quality.fit_bigram_lm model: docs whose perplexity
+      exceeds ``max_ppl`` (or is NULL — empty text) drop. Row-local
+      like the other expression stages: the model rides along as
+      constant-folded map literals, no join, no extra scan.
     """
     tagged = docs
 
@@ -238,6 +246,16 @@ def clean_corpus(
         "_q_fail", q_fail if any_q else F.lit(None).cast("boolean")
     )
 
+    if lm_model is not None and max_ppl is not None:
+        from autoprepad_spark.operators.lm_quality import ppl_expr
+
+        p = ppl_expr(lm_model, eff_text, backoff=lm_backoff)
+        tagged = tagged.withColumn(
+            "_ppl_fail", F.coalesce(p > float(max_ppl), F.lit(True))
+        )
+    else:
+        tagged = tagged.withColumn("_ppl_fail", F.lit(None).cast("boolean"))
+
     # ---- one tag column, one audit agg, one filtered slice -----------
     drop_stage = (
         F.when(F.col("_exact_dup"), "exact_dup")
@@ -248,6 +266,7 @@ def clean_corpus(
         .when(F.col("_gopher_fail"), "gopher")
         .when(F.col("_rep_fail"), "repetition")
         .when(F.col("_q_fail"), "quality")
+        .when(F.col("_ppl_fail"), "perplexity")
     )
     tagged = tagged.withColumn("_drop_stage", drop_stage)
 
