@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 from autoprepad_spark.operators.dedup import normalize_text
@@ -37,8 +39,11 @@ from autoprepad_spark.operators.dedup import normalize_text
 #: override — the weight table is driver/broadcast state.
 DEFAULT_MAX_VOCAB = 1_000_000
 
-#: score_documents(mode="auto") uses the codegen map-literal path up to
-#: this many terms, the broadcast-join path beyond it.
+#: score_documents(mode="map") refuses vocabularies beyond this — a
+#: MapType-literal GetMapValue is a LINEAR key scan inside an
+#: interpreted lambda, measured ~13-300x slower than the Arrow-UDF
+#: path from ~1k entries up (see operators/lm_quality.py, same
+#: mechanics); mode="auto" therefore always picks "udf".
 MAP_LITERAL_CEILING = 65_536
 
 
@@ -114,24 +119,70 @@ def score_documents(
     """Linear bag-of-words score per document: sum of term weights
     (unknown terms contribute 0) + bias, plus ``keep = score >= threshold``.
 
+    mode="udf" (the auto default) — Arrow-batched pandas UDF: the JVM
+    normalizes/splits (codegen), Python does hash-dict weight lookups
+    and the sum per Arrow batch. Row-local: zero shuffles, zero joins.
+    Measured fastest at every vocab size (a MapType-literal lookup is
+    a linear key scan in an interpreted lambda — see
+    operators/lm_quality.py's module docstring for the numbers; same
+    mechanics here).
+
     mode="map" — weights become a MapType literal; scoring is
-    ``F.transform`` + ``F.aggregate`` inside whole-stage codegen: zero
-    shuffles, zero joins, the plan is a bare scan+project. The right
-    plan at any corpus size while the vocab fits an executor literal.
+    ``F.transform`` + ``F.aggregate``: zero Python, but linear-scan
+    lookups — the opt-out for Python-worker-free environments, tiny
+    vocabularies only.
 
     mode="join" — explode tokens, broadcast-join the weight table, and
     re-aggregate per document. The per-doc groupBy shuffles ONE
     (id, partial-sum) row per document per map task (map-side combine),
     not the token stream. For vocabularies past broadcast size, drop
     the broadcast hint and let AQE decide.
-
-    mode="auto" picks "map" below MAP_LITERAL_CEILING terms.
     """
+    if mode in ("auto", "udf"):
+        if isinstance(weights, DataFrame):
+            n = weights.limit(DEFAULT_MAX_VOCAB + 1).count()
+            if n > DEFAULT_MAX_VOCAB:
+                raise ValueError(
+                    f"weight table exceeds {DEFAULT_MAX_VOCAB} terms; use "
+                    "mode='join'"
+                )
+            wdict = {
+                r["term"]: float(r["weight"]) for r in weights.collect()
+            }
+        else:
+            wdict = {t: float(w) for t, w in weights.items()}
+        from pyspark.sql.functions import pandas_udf
+
+        b = float(bias)
+
+        @pandas_udf("double")
+        def _score(words: pd.Series) -> pd.Series:
+            get = wdict.get
+            out = []
+            for ws in words:
+                if ws is None:
+                    out.append(b)
+                    continue
+                acc = b
+                for w in ws:
+                    v = get(w)
+                    if v is not None:
+                        acc += v
+                out.append(acc)
+            return pd.Series(out, dtype="float64")
+
+        score = _score(_words(text_col))
+        return df.select(
+            "*",
+            score.alias("score"),
+            (score >= F.lit(float(threshold))).alias("keep"),
+        )
+
     if isinstance(weights, dict):
         wmap = weights
     else:
         n = weights.limit(MAP_LITERAL_CEILING + 1).count()
-        if mode == "map" or (mode == "auto" and n <= MAP_LITERAL_CEILING):
+        if mode == "map" and n <= MAP_LITERAL_CEILING:
             wmap = {
                 r["term"]: float(r["weight"]) for r in weights.collect()
             }

@@ -74,7 +74,12 @@ def test_map_path_exact_and_join_path_agrees(spark):
         ["doc_id", "text"],
     )
     m = {r["doc_id"]: r for r in
-         score_documents(docs, weights, threshold=0.0).collect()}
+         score_documents(docs, weights, threshold=0.0).collect()}  # udf
+    mm = {r["doc_id"]: r for r in
+          score_documents(docs, weights, threshold=0.0, mode="map").collect()}
+    assert {k: v["score"] for k, v in m.items()} == {
+        k: v["score"] for k, v in mm.items()
+    }
     assert m["x"]["score"] == 0.75 and m["x"]["keep"]
     assert m["y"]["score"] == -2.0 and not m["y"]["keep"]
     assert m["z"]["score"] == 0.0 and m["z"]["keep"]
@@ -99,10 +104,18 @@ def test_end_to_end_fit_then_filter(spark):
     assert not rows["d"]["keep"]
 
 
-def test_map_path_plan_has_no_exchange(spark):
+def test_scoring_plans_are_row_local(spark):
     docs = spark.createDataFrame([("x", "a b c")], ["doc_id", "text"])
+    # auto = Arrow-UDF: row-local (no join/exchange), vectorized Python
     plan = (
         score_documents(docs, {"a": 1.0}, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "ArrowEvalPython" in plan
+    # explicit map mode: zero Python at all
+    plan = (
+        score_documents(docs, {"a": 1.0}, threshold=0.5, mode="map")
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan

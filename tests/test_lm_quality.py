@@ -90,11 +90,12 @@ def test_fit_counts_match_duckdb(spark, model):
     assert model["bi"] == bi
 
 
-def test_scores_match_reference_scorer(spark, model):
+@pytest.mark.parametrize("mode", ["udf", "map"])
+def test_scores_match_reference_scorer(spark, model, mode):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     got = {
         r["doc_id"]: r["ppl"]
-        for r in LM.perplexity(docs, model, backoff=0.1).collect()
+        for r in LM.perplexity(docs, model, backoff=0.1, mode=mode).collect()
     }
     for doc_id, text in DOCS:
         if text is None or _norm(text) == "":
