@@ -51,6 +51,7 @@ def clean_corpus(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fix_mojibake: bool = False,
     exact_dedup: bool = True,
     near_dup_pairs: DataFrame | None = None,
     semantic_keep: DataFrame | None = None,
@@ -78,6 +79,12 @@ def clean_corpus(
     ``text_col`` is replaced by its line-cleaned form — C4's semantics).
     audit: one row per stage — (stage, dropped) — plus ("kept", n).
 
+    * ``fix_mojibake`` — encoding repair FIRST (operators/encoding.py),
+      so dedup and every gate see the repaired text (two mojibake
+      copies of one page dedup against its clean copy). Row-local; the
+      Python repair runs only on regex-suspect rows, but note the
+      drop-list subtrees re-scan the corpus, so at very large scale
+      repair-and-persist upstream instead of toggling it here.
     * ``exact_dedup`` — byte-identical (normalized) texts keep only the
       smallest id (one 16-byte-hash shuffle of (id, hash) pairs).
     * ``near_dup_pairs`` — verified near-dup pairs (id_a, id_b), e.g.
@@ -103,6 +110,13 @@ def clean_corpus(
       like the other expression stages: the model rides along as
       constant-folded map literals, no join, no extra scan.
     """
+    if fix_mojibake:
+        from autoprepad_spark.operators.encoding import fix_encoding
+
+        docs = fix_encoding(
+            docs, text_col, flag_col="_was_mojibake"
+        ).drop("_was_mojibake")
+
     tagged = docs
 
     # ---- drop-lists (tiny frames keyed by doc id) --------------------

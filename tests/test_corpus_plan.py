@@ -144,3 +144,24 @@ def test_exact_dedup_only(spark):
     # canonical (smallest-id) member survives
     kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
     assert 0 in kept and 1 not in kept and 9 in kept and 12 not in kept
+
+
+def test_fix_mojibake_repairs_then_dedups(spark):
+    clean_text = "café über alles, naïve straße here today"
+    moji = clean_text.encode("utf-8").decode("latin-1")
+    docs = spark.createDataFrame(
+        [(0, clean_text), (1, moji), (2, "plain ascii page kept")],
+        "doc_id long, text string",
+    )
+    clean, audit = clean_corpus(docs, fix_mojibake=True, exact_dedup=True)
+    got = {r["stage"]: r["n_docs"] for r in audit.collect()}
+    # the mojibake copy repairs to the clean copy and dedups against it
+    assert got == {"exact_dup": 1, "kept": 2}
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert rows == {0: clean_text, 2: "plain ascii page kept"}
+    assert clean.columns == docs.columns
+    # repair off: the two copies stay distinct
+    _, audit_off = clean_corpus(docs, fix_mojibake=False, exact_dedup=True)
+    assert {r["stage"]: r["n_docs"] for r in audit_off.collect()} == {
+        "kept": 3
+    }
