@@ -24,7 +24,11 @@ from autoprepad_spark.session import get_spark
 from autoprepad_spark.plans.suite import ValidationSuite
 from autoprepad_spark.plans.corpus import clean_corpus
 from autoprepad_spark.operators.tokenizer import bpe_encode, fit_bpe
-from autoprepad_spark.sources.warc import read_warc, warc_to_documents
+from autoprepad_spark.sources.warc import (
+    read_warc,
+    warc_to_documents,
+    wet_to_documents,
+)
 
 __version__ = "0.1.0"
 
@@ -36,5 +40,6 @@ __all__ = [
     "bpe_encode",
     "read_warc",
     "warc_to_documents",
+    "wet_to_documents",
     "__version__",
 ]

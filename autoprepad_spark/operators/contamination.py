@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from autoprepad_spark.operators.dedup import word_shingle_hashes
+from autoprepad_spark.functions.arrays import cosine
 
 #: contamination flag: fraction of the benchmark ITEM's shingles that
 #: must appear in the document. 0.5 is a common operating point for
@@ -128,3 +129,46 @@ def decontaminate(
         .distinct()
     )
     return docs.join(bad, id_col, "left_anti")
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Embedding-space decontamination: flag training docs whose max
+    cosine similarity against ANY benchmark item reaches ``threshold``
+    — the paraphrase-robust complement of the k-gram check (n-gram
+    overlap misses reworded eval items; embeddings don't).
+
+    Plan: benchmark embeddings BROADCAST (eval suites are tiny vs the
+    corpus), corpus streamed ONCE; the per-(doc, bench) cosine scores
+    reduce through a map-side-combined max before the only shuffle, so
+    exchanged rows are |corpus|, not |corpus| x |bench|. The argmax
+    bench id rides the same agg as a struct max (ties break to the
+    larger bench id — deterministic). All cosine math is codegen
+    (functions.arrays.cosine); for benchmarks too large to broadcast,
+    run ivf_topk instead and threshold its output.
+
+    Returns (id_col, max_cos, nearest_bench, contaminated).
+    """
+    b = benchmark.select(
+        F.col(bench_id_col).alias("_bid"), F.col(vec_col).alias("_bv")
+    )
+    scored = corpus.select(id_col, vec_col).join(F.broadcast(b)).select(
+        id_col,
+        F.struct(
+            cosine(vec_col, "_bv").alias("c"), F.col("_bid").alias("b")
+        ).alias("_s"),
+    )
+    agg = scored.groupBy(id_col).agg(F.max("_s").alias("_m"))
+    return agg.select(
+        id_col,
+        F.col("_m.c").alias("max_cos"),
+        F.col("_m.b").alias("nearest_bench"),
+        (F.col("_m.c") >= F.lit(float(threshold))).alias("contaminated"),
+    )

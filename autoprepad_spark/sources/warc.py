@@ -174,6 +174,22 @@ def html_text_expr(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+def wet_to_documents(records: DataFrame) -> DataFrame:
+    """WET files (Common Crawl's pre-extracted text) are WARC files
+    whose payload-bearing records are ``conversion`` type with
+    ``text/plain`` blocks — same read_warc scan, no HTML pass needed."""
+    conv = records.filter(
+        (F.col("warc_type") == "conversion")
+        & F.col("content_type").startswith("text/plain")
+    )
+    return conv.select(
+        F.col("record_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("warc_date").alias("fetch_date"),
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
 def warc_to_documents(records: DataFrame) -> DataFrame:
     """HTML response records -> (doc_id, url, fetch_date, text): the
     corpus-pipeline input frame. Row-local (filter + project); doc_id is

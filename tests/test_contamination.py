@@ -134,3 +134,66 @@ def test_plan_broadcasts_bench_and_never_shuffles_corpus(spark):
     assert "BroadcastHashJoin" in plan
     for bad in ("CartesianProduct", "BatchEvalPython", "SortMergeJoin"):
         assert bad not in plan, f"{bad} in contamination plan"
+
+
+def test_semantic_contamination_matches_duckdb(spark):
+    import numpy as np
+
+    from autoprepad_spark.operators.contamination import (
+        semantic_contamination,
+    )
+
+    rng = np.random.default_rng(7)
+    bench = [(f"b{i}", rng.standard_normal(8).tolist()) for i in range(6)]
+    corpus = [(f"d{i}", rng.standard_normal(8).tolist()) for i in range(40)]
+    # plant one exact copy and one scaled copy (cos == 1.0 both)
+    corpus[3] = ("d3", bench[2][1])
+    corpus[7] = ("d7", [2.0 * x for x in bench[5][1]])
+    cdf = spark.createDataFrame(corpus, "doc_id string, embedding array<double>")
+    bdf = spark.createDataFrame(bench, "bench_id string, embedding array<double>")
+
+    got = {
+        r["doc_id"]: r
+        for r in semantic_contamination(cdf, bdf, threshold=0.999).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (doc_id text, v double[])")
+    con.execute("CREATE TABLE b (bench_id text, v double[])")
+    con.executemany("INSERT INTO c VALUES (?, ?)", corpus)
+    con.executemany("INSERT INTO b VALUES (?, ?)", bench)
+    want = con.execute(
+        """
+        SELECT doc_id, max(list_cosine_similarity(c.v, b.v)) AS mc,
+               arg_max(bench_id, list_cosine_similarity(c.v, b.v)) AS nb
+        FROM c CROSS JOIN b GROUP BY doc_id
+        """
+    ).fetchall()
+    assert len(want) == len(got) == 40
+    for doc_id, mc, nb in want:
+        r = got[doc_id]
+        assert abs(r["max_cos"] - mc) < 1e-9
+        assert r["contaminated"] == (mc >= 0.999)
+        if mc >= 0.999 or r["max_cos"] < 0.99:  # skip knife-edge arg ties
+            assert r["nearest_bench"] == nb
+    assert got["d3"]["contaminated"] and got["d3"]["nearest_bench"] == "b2"
+    assert got["d7"]["contaminated"] and got["d7"]["nearest_bench"] == "b5"
+    assert sum(r["contaminated"] for r in got.values()) == 2
+
+
+def test_semantic_contamination_plan_broadcasts_bench(spark):
+    from autoprepad_spark.operators.contamination import (
+        semantic_contamination,
+    )
+
+    cdf = spark.createDataFrame(
+        [("d0", [1.0, 0.0])], "doc_id string, embedding array<double>"
+    )
+    bdf = spark.createDataFrame(
+        [("b0", [0.0, 1.0])], "bench_id string, embedding array<double>"
+    )
+    plan = (
+        semantic_contamination(cdf, bdf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Python" not in plan

@@ -129,3 +129,21 @@ def test_truncated_trailing_member_is_tolerated(warc_dir):
     assert [r["warc_type"] for r in recs[:3]] == [
         "warcinfo", "request", "response",
     ]
+
+
+def test_wet_to_documents(spark, tmp_path):
+    text = "Extracted page text.\nSecond line.".encode()
+    rec = _record(
+        {"WARC-Type": "conversion", "WARC-Record-ID": "<urn:uuid:7>",
+         "WARC-Target-URI": "http://example.com/page",
+         "WARC-Date": "2024-02-03T00:00:00Z",
+         "Content-Type": "text/plain"},
+        text,
+    )
+    (tmp_path / "x.warc.wet.gz").write_bytes(gzip.compress(rec))
+    docs = W.wet_to_documents(W.read_warc(spark, str(tmp_path))).collect()
+    assert len(docs) == 1
+    d = docs[0]
+    assert d["doc_id"] == "<urn:uuid:7>"
+    assert d["url"] == "http://example.com/page"
+    assert d["text"] == "Extracted page text.\nSecond line."
