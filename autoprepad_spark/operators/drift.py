@@ -27,7 +27,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
 
 PSI_EPS = 1e-6
 DEFAULT_BUCKET_WIDTH = 64
@@ -138,6 +138,111 @@ def _drift_one_source(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         [[src, psi, chi2, dof, pval, len(b), int(bn), int(cn)]],
         columns=[f.name for f in _DRIFT_SCHEMA.fields],
+    )
+
+
+#: truncation of the Kolmogorov survival series 2*sum (-1)^(k-1) e^(-2k²λ²);
+#: terms decay like e^(-2k²λ²) so 100 terms is far past double precision
+#: for any λ where the p-value is distinguishable from 0 or 1.
+_KS_SERIES_TERMS = 100
+
+
+def ks_drift(
+    baseline_hist: DataFrame,
+    current_hist: DataFrame,
+    *,
+    alpha: float = 1e-3,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift from two (source, bucket, cnt)
+    histograms — the nonparametric complement of PSI (threshold-free
+    effect size) and chi² (which over-rejects at large n on per-bucket
+    noise; KS looks at the CDF so it's insensitive to how mass is
+    sliced within a region).
+
+    D is the KS statistic of the BUCKETED distributions: exact for the
+    bucket granularity, and a lower bound on the raw-value D that is
+    off by at most the largest single-bucket mass — the standard
+    trade for a sketchable statistic (same contract as the PSI/chi²
+    histograms; shrink bucket_width for finer resolution).
+
+    Plan: one full-outer join of two |sources| x |buckets| frames, CDFs
+    via per-source window cumsums, then the asymptotic p-value
+    (Kolmogorov survival series with the Stephens small-sample lambda
+    correction) evaluated as an expression over the |sources|-row
+    aggregate — no Python anywhere, nothing driver-side.
+
+    Returns (source, ks_stat, ks_pvalue, baseline_n, current_n,
+    ks_fail, status); a side with zero mass yields null ks_stat and
+    status 'fail'.
+    """
+    b = baseline_hist.select("source", "bucket", F.col("cnt").alias("_bc"))
+    c = current_hist.select("source", "bucket", F.col("cnt").alias("_cc"))
+    j = b.join(c, ["source", "bucket"], "full_outer").fillna(
+        0, ["_bc", "_cc"]
+    )
+    cum = (
+        W.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    tot = W.partitionBy("source")
+    bn = F.sum("_bc").over(tot)
+    cn = F.sum("_cc").over(tot)
+    # try_divide: a zero-mass side yields null CDFs -> null ks_stat
+    # (surfaced as status='fail' below) instead of an ANSI error
+    gap = F.abs(
+        F.try_divide(F.sum("_bc").over(cum), bn)
+        - F.try_divide(F.sum("_cc").over(cum), cn)
+    )
+    agg = (
+        j.select(
+            "source",
+            gap.alias("_gap"),
+            bn.alias("baseline_n"),
+            cn.alias("current_n"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("_gap").alias("ks_stat"),
+            F.max("baseline_n").alias("baseline_n"),
+            F.max("current_n").alias("current_n"),
+        )
+    )
+    ne = (
+        F.col("baseline_n")
+        * F.col("current_n")
+        / (F.col("baseline_n") + F.col("current_n"))
+    )
+    lam_expr = (
+        (F.sqrt(ne) + F.lit(0.12) + F.try_divide(F.lit(0.11), F.sqrt(ne)))
+        * F.col("ks_stat")
+    )
+    with_lam = agg.withColumn(
+        "_lam", F.when(F.col("ks_stat").isNotNull(), lam_expr)
+    )
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_KS_SERIES_TERMS)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.pow(F.lit(-1.0), (k - 1).cast("double"))
+        * F.exp(
+            F.lit(-2.0)
+            * k.cast("double")
+            * k.cast("double")
+            * F.col("_lam")
+            * F.col("_lam")
+        ),
+    )
+    pval = F.least(F.greatest(F.lit(2.0) * series, F.lit(0.0)), F.lit(1.0))
+    # below lam ~0.3 the survival is 1 - O(1e-22) but the alternating
+    # series cancels catastrophically (and diverges at lam = 0): clamp.
+    pval = F.when(F.col("_lam") < 0.3, F.lit(1.0)).otherwise(pval)
+    out = with_lam.withColumn(
+        "ks_pvalue", F.when(F.col("ks_stat").isNotNull(), pval)
+    ).drop("_lam")
+    fail = F.col("ks_stat").isNull() | (F.col("ks_pvalue") < alpha)
+    return out.withColumn("ks_fail", fail).withColumn(
+        "status", F.when(fail, F.lit("fail")).otherwise(F.lit("pass"))
     )
 
 

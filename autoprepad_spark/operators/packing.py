@@ -63,6 +63,67 @@ def pack_sequences(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    *,
+    length: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    keep_partial: bool = True,
+    min_len: int = 1,
+) -> DataFrame:
+    """Split each document's token array into fixed-``length`` training
+    windows starting every ``stride`` tokens — the long-document
+    counterpart of :func:`pack_sequences` (which concatenates SHORT
+    docs; this splits docs LONGER than the context budget, the HF
+    ``return_overflowing_tokens`` shape).
+
+    Window starts are 0, stride, 2*stride, ... strictly below the
+    document length; the tail window is clamped at the array end (so it
+    may be shorter than ``length``). ``keep_partial=False`` keeps only
+    full-length windows; ``min_len`` drops sub-threshold tails when
+    partials are kept. Null/empty token arrays yield no rows.
+
+    Scale shape: entirely row-local — scan -> sequence/explode ->
+    project -> filter, no Exchange and no Python anywhere, so it
+    parallelizes with the scan at any corpus size. The real cost is
+    inherent to the op, not the plan: output bytes = input x
+    (length/stride) when windows overlap; stride == length (the
+    default) is write-amplification-free.
+
+    Returns (id_col, window_id, start, tokens, n_tok) with window_id
+    0-based per document and start the 0-based token offset.
+    """
+    if stride is None:
+        stride = length
+    if length <= 0 or stride <= 0:
+        raise ValueError("length and stride must be positive")
+    n = F.size(F.col(tokens_col))
+    # ceil(n/stride) window starts fall strictly below n
+    n_win = F.ceil(n / F.lit(float(stride))).cast("int")
+    idx = F.when(n > 0, F.sequence(F.lit(0), n_win - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    win = F.slice(
+        F.col(tokens_col), F.col("_i") * stride + 1, length
+    ).alias("tokens")
+    out = (
+        df.select(id_col, tokens_col)
+        .select(id_col, tokens_col, F.explode(idx).alias("_i"))
+        .select(
+            id_col,
+            F.col("_i").cast("long").alias("window_id"),
+            (F.col("_i").cast("long") * stride).alias("start"),
+            win,
+        )
+        .withColumn("n_tok", F.size("tokens"))
+    )
+    if keep_partial:
+        return out.filter(F.col("n_tok") >= min_len)
+    return out.filter(F.col("n_tok") == length)
+
+
 def chunk_stats(packed: DataFrame, *, budget: int, group_col: str = "source",
                 len_col: str = "n_tok") -> DataFrame:
     """Per-group packing quality: chunks used, fill ratio, truncation count.

@@ -229,6 +229,100 @@ def test_drift_psi_chi2_oracle(spark):
     assert 0.0 <= got["chi2_pvalue"] <= 1.0
 
 
+def _ks_pvalue_ref(d, n_b, n_c):
+    import math
+
+    ne = n_b * n_c / (n_b + n_c)
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+    if lam < 0.3:
+        return 1.0
+    s = sum(
+        (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
+        for k in range(1, 101)
+    )
+    return min(max(2.0 * s, 0.0), 1.0)
+
+
+def test_ks_drift_matches_duckdb_and_reference(spark):
+    import duckdb
+
+    from autoprepad_spark.operators.drift import ks_drift
+
+    rng = np.random.default_rng(11)
+    rows_b, rows_c = [], []
+    for s in ("web", "books", "code"):
+        for i in range(10):
+            rows_b.append((s, i, int(rng.integers(10, 200))))
+            # shift 'web' mass rightward; leave one side-only bucket
+            if not (s == "books" and i == 9):
+                rows_c.append((s, i + (2 if s == "web" else 0),
+                               int(rng.integers(10, 200))))
+    bh = spark.createDataFrame(rows_b, ["source", "bucket", "cnt"])
+    ch = spark.createDataFrame(rows_c, ["source", "bucket", "cnt"])
+    got = {r["source"]: r for r in ks_drift(bh, ch).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE b (source text, bucket int, cnt long)")
+    con.execute("CREATE TABLE c (source text, bucket int, cnt long)")
+    con.executemany("INSERT INTO b VALUES (?, ?, ?)", rows_b)
+    con.executemany("INSERT INTO c VALUES (?, ?, ?)", rows_c)
+    want = con.execute(
+        """
+        WITH j AS (
+          SELECT coalesce(b.source, c.source) AS source,
+                 coalesce(b.bucket, c.bucket) AS bucket,
+                 coalesce(b.cnt, 0) AS bc, coalesce(c.cnt, 0) AS cc
+          FROM b FULL OUTER JOIN c
+            ON b.source = c.source AND b.bucket = c.bucket
+        ), cum AS (
+          SELECT source,
+                 abs(sum(bc) OVER w / (sum(bc) OVER t * 1.0)
+                   - sum(cc) OVER w / (sum(cc) OVER t * 1.0)) AS gap,
+                 sum(bc) OVER t AS bn, sum(cc) OVER t AS cn
+          FROM j
+          WINDOW w AS (PARTITION BY source ORDER BY bucket
+                       ROWS UNBOUNDED PRECEDING),
+                 t AS (PARTITION BY source)
+        )
+        SELECT source, max(gap), max(bn), max(cn) FROM cum GROUP BY source
+        """
+    ).fetchall()
+    assert len(want) == 3
+    for source, d, bn, cn in want:
+        r = got[source]
+        assert r["ks_stat"] == pytest.approx(d, abs=1e-12)
+        assert (r["baseline_n"], r["current_n"]) == (bn, cn)
+        assert r["ks_pvalue"] == pytest.approx(
+            _ks_pvalue_ref(d, bn, cn), abs=1e-12
+        )
+    assert got["web"]["status"] == "fail"  # planted shift
+    assert got["code"]["ks_stat"] < got["web"]["ks_stat"]
+
+
+def test_ks_drift_identical_and_empty_sides(spark):
+    from autoprepad_spark.operators.drift import ks_drift
+
+    rows = [("s", i, 100) for i in range(5)]
+    h = spark.createDataFrame(rows, ["source", "bucket", "cnt"])
+    same = ks_drift(h, h).collect()[0]
+    assert same["ks_stat"] == 0.0 and same["ks_pvalue"] == 1.0
+    assert same["status"] == "pass"
+
+    empty = spark.createDataFrame(
+        [("s", 0, 0)], ["source", "bucket", "cnt"]
+    )
+    gone = ks_drift(h, empty).collect()[0]
+    assert gone["ks_stat"] is None and gone["status"] == "fail"
+
+
+def test_ks_drift_plan_has_no_python(spark):
+    from autoprepad_spark.operators.drift import ks_drift
+
+    h = spark.createDataFrame([("s", 0, 1)], ["source", "bucket", "cnt"])
+    plan = ks_drift(h, h)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
