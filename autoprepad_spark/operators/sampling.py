@@ -136,6 +136,67 @@ def mix_by_tokens(
     )
 
 
+def hash_fraction(key_col: str, salt: str) -> Column:
+    """The key's hash as a double in [0, 1) — the deterministic uniform
+    draw behind per-row Bernoulli selection (top 32 md5 bits / 2^32,
+    numeric because the acceptance threshold is per-ROW here, unlike
+    the constant-threshold string compare the fixed-rate samplers use).
+    """
+    return F.conv(F.substring(_bucket(key_col, salt), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(_HASH_SPACE))
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    target_fraction: float | None = None,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Quality-weighted soft filtering: keep each row with probability
+    proportional to its score (the DCLM-style alternative to a hard
+    classifier cutoff — hard thresholds collapse diversity at the
+    boundary; scaling keep-probability by quality keeps a graded mix).
+
+    The draw is ``hash_fraction(key)`` — a pure function of the row key,
+    so selection is reproducible at any parallelism and independent of
+    the weight (no bias from correlated draws). Null or negative
+    weights drop the row; weights above 1 (after scaling) saturate.
+
+    ``target_fraction`` scales weights so the EXPECTED kept row
+    fraction hits the target: one |1|-row aggregation computes
+    c = target * n / sum(w) and the filter keeps rows with
+    draw < min(1, c*w). Exact in expectation when no weight saturates;
+    when scaling pushes some weights past 1 the realized rate falls
+    short by the clamped mass (documented bias — iterate c if you need
+    the exact rate under saturation). Without it, ``weight_col`` is
+    used directly as a [0,1] probability.
+
+    The filter is a scan-level predicate: no shuffle, no UDF, composes
+    with partition pruning at any corpus size.
+    """
+    w = F.col(weight_col).cast("double")
+    if target_fraction is not None:
+        if not 0.0 <= target_fraction <= 1.0:
+            raise ValueError(
+                f"target_fraction must be in [0,1], got {target_fraction}"
+            )
+        stats = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(w > 0, w).otherwise(F.lit(0.0))).alias("sw"),
+        ).collect()[0]
+        if not stats["sw"]:
+            return df.filter(F.lit(False))
+        c = target_fraction * float(stats["n"]) / float(stats["sw"])
+        w = w * F.lit(c)
+    p = F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
+    return df.filter(
+        w.isNotNull() & (hash_fraction(key_col, salt) < p)
+    )
+
+
 def hash_split(
     df: DataFrame,
     fractions: list[float],

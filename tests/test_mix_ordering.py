@@ -109,3 +109,77 @@ def test_training_order_is_total_and_deterministic(tokens_df):
     # same total row count and same global extremes at both partitionings
     assert sum(n for *_, n in a) == sum(n for *_, n in b) == tokens_df.count()
     assert (a[0][1], a[-1][2]) == (b[0][1], b[-1][2])
+
+
+def test_weighted_sample_matches_hashlib_oracle(spark):
+    """Exact membership: the Spark filter keeps precisely the rows whose
+    md5-derived uniform draw is below the clamped weight."""
+    import hashlib
+
+    from autoprepad_spark.operators.sampling import weighted_sample
+
+    rows = [
+        (f"d{i:03d}", [None, -0.5, 0.0, 0.2, 0.5, 0.9, 1.0, 2.5][i % 8])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, q double")
+    got = {r["doc_id"] for r in weighted_sample(df, weight_col="q").collect()}
+
+    def draw(key):
+        h = hashlib.md5((key + "wsample").encode()).hexdigest()
+        return int(h[:8], 16) / 16**8
+
+    want = {
+        k
+        for k, q in rows
+        if q is not None and draw(k) < min(max(q, 0.0), 1.0)
+    }
+    assert got == want
+    assert 0 < len(want) < 400  # both outcomes exercised
+
+
+def test_weighted_sample_target_fraction_and_independence(spark):
+    import hashlib
+
+    from autoprepad_spark.operators.sampling import weighted_sample
+
+    rows = [(f"d{i:04d}", float(1 + i % 5)) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id string, q double")
+    kept = weighted_sample(df, weight_col="q", target_fraction=0.3)
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    # exact membership under the scaled weights (c = target*n/sum(w))
+    c = 0.3 * len(rows) / sum(q for _, q in rows)
+
+    def draw(key):
+        h = hashlib.md5((key + "wsample").encode()).hexdigest()
+        return int(h[:8], 16) / 16**8
+
+    want = {k for k, q in rows if draw(k) < min(c * q, 1.0)}
+    assert ids1 == want
+    # realized rate near target (no weight saturates here: max c*q < 1)
+    assert abs(len(ids1) / len(rows) - 0.3) < 0.02
+    # higher-quality rows kept at proportionally higher rates
+    by_q = {}
+    for k, q in rows:
+        by_q.setdefault(q, []).append(k in ids1)
+    rates = {q: sum(v) / len(v) for q, v in by_q.items()}
+    assert rates[5.0] > rates[2.0] > rates[1.0]
+    # parallelism independence
+    ids7 = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(7), weight_col="q", target_fraction=0.3
+        ).collect()
+    }
+    assert ids7 == ids1
+
+
+def test_weighted_sample_plan_is_scan_level_filter(spark):
+    from autoprepad_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([("a", 0.5)], "doc_id string, q double")
+    plan = (
+        weighted_sample(df, weight_col="q")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
