@@ -204,3 +204,153 @@ SELECT col,
                   ELSE {_K!r} / harmonic_s END, 2) AS estimate
 FROM sk ORDER BY col
 """
+
+
+# --------------------------------------------------------------------------
+# Portable Bloom filter — approximate set MEMBERSHIP (the HLL of "have I
+# seen this key?"). Dolma's dedup pass is exactly this: a Bloom filter
+# over every paragraph/doc hash seen so far, consulted before any exact
+# work. Spark 3.5+ ships bloom_filter_agg/might_contain, but (like
+# HLL++) its serialized sketch is engine-private; this one is built from
+# md5 + Kirsch-Mitzenmacher double hashing, so the SAME filter can be
+# built, merged, probed — and oracle-checked — in any engine or in
+# plain Python.
+#
+# * probes      — h = md5(value); h1 = first 15 hex chars, h2 = next 15
+#                 (60 bits each, both reduced mod m up front so
+#                 h1 + i*h2 never overflows a long); probe_i =
+#                 (h1 + i*h2) mod m, i = 0..k-1 (Kirsch-Mitzenmacher
+#                 2006: two hashes simulate k with no FPR penalty).
+# * registers   — (word:int, bits:long): word w covers global bits
+#                 [64w, 64w+63], LSB-first, words little-endian in the
+#                 byte form. At most m/64 rows regardless of input
+#                 size; one explode(k probes) + map-side-combined
+#                 bit_or, so the shuffle is <= m/64 rows per task.
+#                 Register frames over disjoint shards merge EXACTLY
+#                 via bit_or (set union) — same mergeable-profile
+#                 contract as the HLL register frames.
+# * byte form   — ``bloom_bytes`` densifies the (bounded) register
+#                 frame driver-side; ``bloom_contains`` embeds it as
+#                 ONE binary literal and tests all k probes with
+#                 hex/substring/bitwiseAND — a scan-level codegen
+#                 predicate: no shuffle, no Python, no join.
+#
+# No false negatives ever (construction); false-positive rate ~
+# (1 - e^(-k n / m))^k, sized by ``bloom_size``. The 100-TB use is the
+# incremental dedup prefilter (operators/incremental.py): rows whose
+# content hash fails the history bloom are DEFINITELY new and skip the
+# exact anti-join entirely; only possible members (true dups + FPR of
+# the shard) pay the join.
+# --------------------------------------------------------------------------
+
+import struct as _struct
+
+BLOOM_DEFAULT_K = 4
+
+
+def bloom_size(n_keys: int, fpr: float = 0.01) -> tuple[int, int]:
+    """(m_bits, k) for ``n_keys`` at target false-positive rate.
+    Standard optimum m = -n ln p / (ln 2)^2, k = (m/n) ln 2; m is
+    rounded up to a multiple of 64 (whole register words)."""
+    import math as _math
+
+    if n_keys <= 0 or not 0.0 < fpr < 1.0:
+        raise ValueError(f"need n_keys>0 and 0<fpr<1, got {n_keys}, {fpr}")
+    m = -n_keys * _math.log(fpr) / (_math.log(2.0) ** 2)
+    m_bits = max(64, int(_math.ceil(m / 64.0)) * 64)
+    k = max(1, round(m_bits / n_keys * _math.log(2.0)))
+    return m_bits, k
+
+
+def _bloom_h1_h2(value: Column, m_bits: int) -> tuple[Column, Column]:
+    h = F.md5(value.cast("string"))
+    h1 = F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(m_bits))
+    h2 = F.pmod(F.conv(F.substring(h, 16, 15), 16, 10).cast("long"), F.lit(m_bits))
+    return h1, h2
+
+
+def bloom_registers(
+    df: DataFrame, col: str | Column, *, m_bits: int, k: int = BLOOM_DEFAULT_K
+) -> DataFrame:
+    """Build the filter as its MERGEABLE register frame (word, bits) —
+    the persistable form, <= m_bits/64 rows. Null values are skipped
+    (they are not keys). Shard frames union via ``bloom_merge``."""
+    if m_bits % 64 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    c = F.col(col) if isinstance(col, str) else col
+    h1, h2 = _bloom_h1_h2(c, m_bits)
+    probes = F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+    )
+    pos = (
+        df.filter(c.isNotNull())
+        .select(F.explode(probes).alias("p"))
+    )
+    # shiftleft()'s shift amount must be a literal, so the per-bit mask
+    # is 2^bit via pow (exact: powers of two are exact doubles) for bits
+    # 0..62 and the sign bit spelled as Long.MIN_VALUE for bit 63
+    bit = F.pmod(F.col("p"), F.lit(64))
+    mask = (
+        F.when(bit == 63, F.lit(-(2**63)).cast("long"))
+        .otherwise(F.pow(F.lit(2.0), bit.cast("double")).cast("long"))
+    )
+    return (
+        pos.select(
+            F.shiftright(F.col("p"), 6).cast("int").alias("word"),
+            mask.alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(*register_frames: DataFrame) -> DataFrame:
+    """Union of Bloom filters: register-wise OR — exact sketch union
+    (OR is associative/commutative over the per-probe bit sets)."""
+    out = register_frames[0]
+    for r in register_frames[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_bytes(registers: DataFrame, m_bits: int) -> bytes:
+    """Densify a register frame into the m_bits/8-byte bitmap the probe
+    expression embeds. Collect is bounded at m_bits/64 rows by
+    construction (the register frame IS the aggregated filter)."""
+    if m_bits % 64 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    buf = bytearray(m_bits // 8)
+    for row in registers.collect():
+        w = row["word"]
+        if not 0 <= w < m_bits // 64:
+            raise ValueError(f"register word {w} outside m_bits={m_bits}")
+        _struct.pack_into("<q", buf, w * 8, row["bits"])
+    return bytes(buf)
+
+
+def bloom_contains(
+    col: str | Column, bloom: bytes, *, k: int = BLOOM_DEFAULT_K
+) -> Column:
+    """Membership predicate against a ``bloom_bytes`` filter: true iff
+    all k probe bits are set (possible member / definite dup candidate);
+    false = DEFINITELY not inserted. One binary literal + k byte
+    lookups (hex/conv/bitwiseAND) — pure codegen, scan-level, pushes
+    past nothing and shuffles nothing. Null input -> false (nulls are
+    never inserted)."""
+    m_bits = len(bloom) * 8
+    if m_bits % 64 or m_bits == 0:
+        raise ValueError(f"bloom must be a positive multiple of 8 bytes, got {len(bloom)}")
+    c = F.col(col) if isinstance(col, str) else col
+    blit = F.lit(bloom)
+    h1, h2 = _bloom_h1_h2(c, m_bits)
+    test = F.lit(True)
+    for i in range(k):
+        p = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+        byte_val = F.conv(
+            F.hex(F.substring(blit, (F.shiftright(p, 3) + F.lit(1)).cast("int"), 1)),
+            16,
+            10,
+        ).cast("int")
+        mask = F.pow(F.lit(2.0), F.pmod(p, F.lit(8)).cast("double")).cast("int")
+        test = test & (byte_val.bitwiseAND(mask) != 0)
+    return F.coalesce(test, F.lit(False))

@@ -202,6 +202,8 @@ def split_exact_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     prefilter_history: bool = True,
+    history_bloom: bytes | None = None,
+    bloom_k: int = 4,
 ) -> tuple[DataFrame, DataFrame]:
     """The exact pass alone: ``(fresh, exact_dropped)``.
 
@@ -228,6 +230,22 @@ def split_exact_against_index(
     already exchange-free and strictly better).
     """
     new_hashed = new_docs.withColumn("content_hash", content_hash(text_col))
+    definitely_fresh = None
+    if history_bloom is not None:
+        # Dolma-style Bloom gate (functions/sketches.py): rows whose
+        # content hash FAILS the history filter are DEFINITELY new —
+        # no false negatives by construction — so they bypass the join
+        # machinery entirely; only possible members (true dups + the
+        # filter's FPR share of the shard) pay it. The predicate is a
+        # scan-level codegen expression over one broadcast-as-literal
+        # bitmap, so at a low dup rate the exact pass costs ~nothing
+        # beyond the shard scan. Semantics are IDENTICAL with or
+        # without the bloom (pytest-proven) — it only routes rows.
+        from autoprepad_spark.functions.sketches import bloom_contains
+
+        maybe = bloom_contains("content_hash", history_bloom, k=bloom_k)
+        definitely_fresh = new_hashed.filter(~maybe)
+        new_hashed = new_hashed.filter(maybe)
     # no distinct on the HISTORY side ever: semi/anti semantics ignore
     # build-side duplicates, and a distinct would shuffle the history
     idx_hashes = index.select("content_hash")
@@ -251,6 +269,8 @@ def split_exact_against_index(
         F.lit(None).cast("double").alias("est_jaccard"),
     )
     fresh = new_hashed.join(idx_hashes, "content_hash", "left_anti")
+    if definitely_fresh is not None:
+        fresh = fresh.unionByName(definitely_fresh)
     return fresh, exact_dropped
 
 
