@@ -146,3 +146,30 @@ def test_bloom_probe_plan_is_scan_level(spark, keys_df, tmp_path):
     assert "Python" not in plan
     reg_plan = _plan_of(S.bloom_registers(spark.read.parquet(p), "v", m_bits=m, k=k))
     assert "partial_bit_or" in reg_plan  # map-side combine bounds the shuffle
+
+
+def test_udf_and_expr_paths_agree_bit_for_bit(spark, keys_df):
+    m, k = S.bloom_size(2000, 0.01)
+    b = S.bloom_bytes(S.bloom_registers(keys_df, "v", m_bits=m, k=k), m)
+    probe = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(500)]
+        + [(f"non-{i}",) for i in range(5000)]
+        + [(None,)],
+        "v string",
+    )
+    got = probe.select(
+        "v",
+        S.bloom_contains("v", b, k=k, method="expr").alias("e"),
+        S.bloom_contains("v", b, k=k, method="udf").alias("u"),
+    ).collect()
+    assert all(r["e"] == r["u"] for r in got)
+    # long keys too (the incremental gate's content_hash column)
+    dfl = spark.createDataFrame([(i,) for i in range(-3, 4)], "v long")
+    bl = S.bloom_bytes(S.bloom_registers(dfl, "v", m_bits=1024, k=3), 1024)
+    gl = dfl.select(
+        S.bloom_contains("v", bl, k=3, method="expr").alias("e"),
+        S.bloom_contains("v", bl, k=3, method="udf").alias("u"),
+    ).collect()
+    assert all(r["e"] and r["u"] for r in gl)
+    with pytest.raises(ValueError):
+        S.bloom_contains("v", bytes(2 * 1024 * 1024), k=3, method="expr")
