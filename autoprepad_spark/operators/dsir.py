@@ -248,7 +248,14 @@ def dsir_select(
     paper's resampling step). Deterministic: the Gumbel comes from the
     doc key, ties break on the key. The global top-k compiles to
     TakeOrdered — per-partition heaps of size k, then a k-row driver
-    merge; no global sort materializes."""
+    merge; no global sort materializes. The driver merge makes this
+    exact path O(k) driver-side: right for budgets up to ~10^6 docs
+    (measured: select of 800k from 8M costs 66-92 s, driver-bound —
+    BENCH/BASELINE.md). For corpus-fraction budgets at 10^9+ rows,
+    convert the weights to keep-probabilities and use
+    ``sampling.weighted_sample`` instead — a scan-level deterministic
+    filter with no driver state (Bernoulli rather than
+    without-replacement semantics, the standard trade at that scale)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     scored = df.withColumn(
