@@ -205,6 +205,14 @@ def dsir_log_weights(
     not a MapType literal) and the weight is a left fold over the gram
     array: scan-level projection, no shuffle, no Python. Docs with no
     grams get weight 0.0 (w = 1: no evidence either way)."""
+    if buckets > 65536:
+        # the λ table rides the PLAN as an array literal (one element
+        # per bucket); past ~64k the literal bloats analysis and task
+        # binaries for no modeling gain (DSIR uses 10k buckets)
+        raise ValueError(
+            f"buckets={buckets}: the log-ratio table is a plan literal; "
+            "keep buckets <= 65536 (paper default 10000)"
+        )
     lam = F.lit(
         dsir_log_ratio_table(
             target_fit, raw_fit, buckets=buckets, smoothing=smoothing
