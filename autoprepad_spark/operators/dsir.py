@@ -274,3 +274,44 @@ def dsir_select(
         .limit(k)
         .drop("_gumbel_score")
     )
+
+
+def fit_oracle_sql(docs_sql: str, *, buckets: int = 10_000) -> str:
+    """DuckDB SQL computing the IDENTICAL ``fit_hashed_ngrams`` frame
+    for ``method="md5"`` — the cross-engine proof that the md5 feature
+    family is engine-portable (the same contract as
+    ``sketches.hll_oracle_sql``). ``docs_sql`` must produce
+    (doc_id, text). Normalization, gram construction (unigrams then
+    word-pair bigrams joined by one space), the top-32-md5-bit bucket,
+    and the counts all mirror the Spark expressions token for token;
+    the hex parse is spelled as nibble arithmetic because DuckDB has no
+    conv()."""
+    nibbles = " + ".join(
+        f"(strpos('0123456789abcdef', md5(g)[{j + 1}]) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+    return f"""
+WITH docs AS ({docs_sql}),
+norm AS (
+  SELECT list_filter(
+           string_split(
+             trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')),
+             ' '),
+           w -> w <> '') AS ws
+  FROM docs
+),
+grams AS (
+  SELECT list_concat(
+           ws,
+           CASE WHEN len(ws) >= 2
+                THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+                ELSE [] END
+         ) AS gs
+  FROM norm
+),
+bucketed AS (
+  SELECT unnest(list_transform(gs, g -> ({nibbles}) % {buckets})) AS bucket
+  FROM grams
+)
+SELECT bucket, count(*) AS cnt FROM bucketed GROUP BY bucket
+"""

@@ -245,3 +245,25 @@ def test_plan_shapes(spark, corpora, tmp_path):
     fit_plan = _plan_of(q_fit)
     assert "partial_count" in fit_plan  # map-side combine bounds the shuffle
     assert "Python" not in fit_plan
+
+
+def test_fit_matches_duckdb_oracle(spark, corpora, tmp_path):
+    """Cross-engine proof of the md5 family: DuckDB recomputes the fit
+    frame from the same parquet, row-identical."""
+    import duckdb
+
+    _, raw = corpora
+    p = str(tmp_path / "docs.parquet")
+    raw.select("doc_id", "text").write.mode("overwrite").parquet(p)
+    got = sorted(
+        (r["bucket"], r["cnt"])
+        for r in dsir.fit_hashed_ngrams(
+            spark.read.parquet(p), buckets=BUCKETS, method="md5"
+        ).collect()
+    )
+    sql = dsir.fit_oracle_sql(
+        f"SELECT doc_id, text FROM read_parquet('{p}/*.parquet')",
+        buckets=BUCKETS,
+    )
+    want = sorted(duckdb.connect().execute(sql).fetchall())
+    assert got == want
