@@ -22,9 +22,11 @@ matrix work, not expression work.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
 from autoprepad_spark.functions.arrays import cosine, dot, l2_norm
 
@@ -67,18 +69,68 @@ def _random_planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
+# ---------------------------------------------------------------------------
+# md5int oracle family (cross-engine-exact planes/centroids)
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the oracle family's vector quantization
+ORACLE_QUANT_SCALE = 1000.0
+
+
+def md5_int_matrix(n: int, dim: int, seed: int, salt: str) -> np.ndarray:
+    """An (n, dim) integer matrix derived purely from md5 — the ANN
+    analog of dsir.fit_oracle_sql's "oracle hash family": entry (i, j)
+    is ``(int(md5(f"{seed}:{salt}:{i}:{j}")[:8], 16) % 255) - 127``,
+    a symmetric integer in [-127, 127]. Because the derivation is pure
+    md5-of-a-string, DuckDB recomputes the identical matrix in SQL
+    (nibble arithmetic over md5()), so LSH signatures / IVF cell
+    assignments built from it are engine-portable, not engine-internal.
+    Returned as float64 holding exact integer values (so numpy matmuls
+    against quantized vectors stay exact)."""
+    out = np.empty((n, dim), dtype=np.float64)
+    for i in range(n):
+        for j in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}:{salt}:{i}:{j}".encode()).hexdigest()[:8],
+                16,
+            )
+            out[i, j] = float((h % 255) - 127)
+    return out
+
+
+def quantize_vec(
+    vec_col: Column | str, scale: float = ORACLE_QUANT_SCALE
+) -> Column:
+    """Fixed-point quantization ``floor(x*scale + 0.5)`` (round-half-up,
+    spelled as floor so Spark, DuckDB, and numpy cannot disagree on
+    half-case tie-breaking). With integer planes/centroids every dot
+    product over the quantized vector is a sum of exact small integers
+    in float64 — bit-identical under ANY summation order (codegen fold,
+    numpy pairwise matmul, DuckDB's loop), which is what makes sign
+    bits and argmax cells, the parts 4-decimal rounding cannot protect,
+    deterministic across engines."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c,
+        lambda x: F.floor(x.cast("double") * F.lit(scale) + F.lit(0.5)).cast(
+            "double"
+        ),
+    )
+
+
+def lsh_signature(vec_col: Column | str, planes: list[list[float]]) -> F.Column:
     """Sign-bit signature against fixed hyperplanes — a long per vector.
 
     Expression variant (zip_with/aggregate, whole-stage codegen). Each
     plane is a separate array reduction, so cost grows as
     n_planes x dim per row — fine for small plane counts, but the
     matmul UDF variant below wins at scale."""
+    vc = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         d = F.aggregate(
             F.zip_with(
-                F.col(vec_col),
+                vc,
                 F.array(*[F.lit(float(x)) for x in p]),
                 lambda a, b: a.cast("double") * b,
             ),
@@ -123,22 +175,35 @@ def lsh_topk(
     seed: int = 42,
     dim: int | None = None,
     sig_method: str = "udf",
+    family: str = "gaussian",
 ) -> DataFrame:
     """ANN top-k: score only bucket-mates across n_tables hash tables.
 
     Pass ``dim`` (the embedding width) to skip the one-row peek job.
     sig_method: "udf" (matmul per Arrow batch — the scale path) or
-    "expr" (pure codegen expressions, no python workers)."""
+    "expr" (pure codegen expressions, no python workers).
+    family: "gaussian" (default — seeded numpy standard-normal planes)
+    or "md5int" (the oracle family: md5-derived integer planes applied
+    to fixed-point-quantized vectors, so signatures — and therefore the
+    candidate set and final top-k — are exactly recomputable by DuckDB;
+    see md5_int_matrix/quantize_vec). Final cosine scoring always uses
+    the ORIGINAL float vectors; only bucketing is quantized."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
+    sig_in = (
+        quantize_vec(vec_col) if family == "md5int" else F.col(vec_col)
+    )
     cands = None
     for t in range(n_tables):
-        planes = _random_planes(dim, n_planes, seed + t)
+        if family == "md5int":
+            planes = md5_int_matrix(n_planes, dim, seed + t, "plane")
+        else:
+            planes = _random_planes(dim, n_planes, seed + t)
         if sig_method == "udf":
             u = lsh_signature_udf(np.asarray(planes))
-            sig = u(F.col(vec_col))
+            sig = u(sig_in)
         else:
-            sig = lsh_signature(vec_col, planes)
+            sig = lsh_signature(sig_in, np.asarray(planes).tolist())
         cb = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), sig.alias("_b"))
         qb = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), sig.alias("_b"))
         pair = cb.join(F.broadcast(qb), "_b").drop("_b")
@@ -166,6 +231,28 @@ def _assign_udf(centroids: np.ndarray):
     return assign
 
 
+def _assign_udf_exact(centroids: np.ndarray):
+    """Oracle-family assignment over QUANTIZED vectors: score(v, c) =
+    dot_int(v, c) / ||c|| — the numerator is exact integer arithmetic in
+    float64 (order-free), the denominator sqrt-of-exact-int, so every
+    score and therefore the argmax is bit-identical in numpy and DuckDB.
+    Skipping the vector's own normalization is sound: dividing all of a
+    row's scores by ||v|| cannot change its argmax, and it is exactly
+    the normalization step whose rounding could differ between engines.
+    Ties (exactly equal scores) take the LOWEST cell index — np.argmax's
+    first-occurrence rule, mirrored by the oracle's ORDER BY s DESC, c."""
+    ct = np.asarray(centroids, dtype=np.float64)
+    nrm = np.sqrt((ct * ct).sum(axis=1))
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(qvecs: pd.Series) -> pd.Series:
+        m = np.stack(qvecs.to_numpy()).astype(np.float64)
+        sims = (m @ ct.T) / nrm[None, :]
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return assign
+
+
 def ivf_build(
     corpus: DataFrame,
     *,
@@ -175,6 +262,7 @@ def ivf_build(
     seed: int = 42,
     method: str = "sample",
     max_iter: int = 10,
+    dim: int | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """Assign each vector to an IVF cell; returns (assigned, centroids).
 
@@ -188,7 +276,23 @@ def ivf_build(
     Note the trained centers can depend on input partitioning (parallel
     init sampling), so use "sample" where bit-identical builds across
     cluster sizes matter more than cell quality.
+
+    method="md5int": the ORACLE family — centroids are the md5-derived
+    integer matrix (md5_int_matrix(n_cells, dim, seed, "cent")) and
+    assignment scores dot_int(quantized v, c)/||c|| (exact arithmetic,
+    see _assign_udf_exact), so DuckDB recomputes the identical cell per
+    vector. Requires ``dim``. Random integer centroids partition the
+    sphere by nearest-direction just like sampled centroids do — cell
+    quality is adequate for probe-recall work, and the build is a pure
+    function of (seed, dim, n_cells): no scan, no sample job at all.
     """
+    if method == "md5int":
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        centroids = md5_int_matrix(n_cells, dim, seed, "cent")
+        assign = _assign_udf_exact(centroids)
+        assigned = corpus.withColumn("cell", assign(quantize_vec(vec_col)))
+        return assigned, centroids
     if method == "kmeans":
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -232,6 +336,24 @@ def _probe_udf(centroids: np.ndarray, nprobe: int):
     return probe
 
 
+def _probe_udf_exact(centroids: np.ndarray, nprobe: int):
+    """Oracle-family probe over QUANTIZED query vectors: same exact
+    dot_int/||c|| scores as _assign_udf_exact, nprobe cells per query in
+    (score DESC, cell ASC) order — DuckDB's row_number() over the same
+    ordering reproduces the identical probe set."""
+    ct = np.asarray(centroids, dtype=np.float64)
+    nrm = np.sqrt((ct * ct).sum(axis=1))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(qvecs: pd.Series) -> pd.Series:
+        m = np.stack(qvecs.to_numpy()).astype(np.float64)
+        sims = (m @ ct.T) / nrm[None, :]
+        cells = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cells.astype(np.int32)))
+
+    return probe
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: np.ndarray,
@@ -241,6 +363,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    family: str = "gaussian",
 ) -> DataFrame:
     """Probe the nprobe nearest cells per query, exact-score inside them.
 
@@ -249,13 +372,23 @@ def ivf_topk(
     joined against the cell-assigned corpus — broadcast when the probe
     table is small, AQE-planned shuffle join for query-table-sized
     workloads.
+
+    family="md5int" pairs with ivf_build(method="md5int"): probing uses
+    the exact integer scores (so the probe set — and the resulting
+    top-k — is DuckDB-recomputable); final cosine still scores the
+    original float vectors.
     """
-    probe = _probe_udf(centroids, nprobe)
+    if family == "md5int":
+        probe = _probe_udf_exact(centroids, nprobe)
+        probe_in = quantize_vec(vec_col)
+    else:
+        probe = _probe_udf(centroids, nprobe)
+        probe_in = F.col(vec_col)
     qdf = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
-            probe(F.col(vec_col)).alias("_cells"),
+            probe(probe_in).alias("_cells"),
         )
         .withColumn("cell", F.explode("_cells"))
         .drop("_cells")
@@ -268,6 +401,127 @@ def ivf_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _md5_u32_sql(expr: str) -> str:
+    """First 8 hex nibbles of md5(expr) as a BIGINT — the same nibble
+    arithmetic as dsir.fit_oracle_sql (DuckDB has no conv())."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', md5({expr})[{j + 1}]) - 1) * {16 ** (7 - j)}"
+        for j in range(8)
+    )
+
+
+def ann_oracle_sql(
+    *,
+    query_pred: str = "vec_id < 10",
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    lsh_seed: int = 42,
+    n_cells: int = 8,
+    ivf_seed: int = 42,
+    nprobe: int = 3,
+    dim: int = 64,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB SQL recomputing the ENTIRE md5int-family ANN query — LSH
+    signatures, bucket candidates, IVF centroids, cell assignment, probe
+    sets, cosine scores, and the top-k cut — from the raw parquet rows.
+
+    The cross-engine-exactness argument (the ANN analog of
+    dsir.fit_oracle_sql): planes/centroids are pure md5 functions of
+    (seed, salt, i, j) recomputed here by nibble arithmetic; vectors are
+    fixed-point quantized (floor(x*1000+0.5)) so every signature dot
+    product and assignment score is exact-integer float64 arithmetic —
+    order-free, hence identical under Spark codegen, numpy matmul, and
+    DuckDB's loop. Only the FINAL cosine (original float vectors) is
+    real-float work, and it is rounded to 4 decimals on both sides —
+    the same tolerance the green brute-force embedding_topk oracle
+    already relies on."""
+    plane_key = (
+        f"concat(CAST({lsh_seed} + t.t AS VARCHAR), ':plane:', "
+        "CAST(i.i AS VARCHAR), ':', CAST(j.j AS VARCHAR))"
+    )
+    cent_key = (
+        f"concat(CAST({ivf_seed} AS VARCHAR), ':cent:', "
+        "CAST(c.c AS VARCHAR), ':', CAST(j.j AS VARCHAR))"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {ORACLE_QUANT_SCALE} + 0.5)) AS qv
+  FROM {table}
+),
+lpl AS (
+  SELECT t.t, i.i,
+         list(((({_md5_u32_sql(plane_key)}) % 255) - 127)::DOUBLE ORDER BY j.j) AS p
+  FROM range({n_tables}) t(t), range({n_planes}) i(i), range({dim}) j(j)
+  GROUP BY t.t, i.i
+),
+sg AS (
+  SELECT e.vec_id, l.t,
+         sum(CASE WHEN list_dot_product(e.qv, l.p) > 0
+                  THEN (1::BIGINT << l.i) ELSE 0 END)::BIGINT AS sig
+  FROM e, lpl l
+  GROUP BY e.vec_id, l.t
+),
+lc AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sg q JOIN sg c ON c.t = q.t AND c.sig = q.sig
+  WHERE q.{query_pred} AND c.vec_id <> q.vec_id
+),
+lr AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM (SELECT lc.query_id, lc.neighbor_id,
+               list_cosine_similarity(eq.v, ec.v) AS sim
+        FROM lc JOIN e eq ON eq.vec_id = lc.query_id
+                JOIN e ec ON ec.vec_id = lc.neighbor_id)
+),
+cn AS (
+  SELECT c, p, sqrt(list_dot_product(p, p)) AS nrm
+  FROM (SELECT c.c AS c,
+               list(((({_md5_u32_sql(cent_key)}) % 255) - 127)::DOUBLE ORDER BY j.j) AS p
+        FROM range({n_cells}) c(c), range({dim}) j(j)
+        GROUP BY c.c)
+),
+ascore AS (
+  SELECT e.vec_id, cn.c, list_dot_product(e.qv, cn.p) / cn.nrm AS s
+  FROM e, cn
+),
+asg AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS r
+    FROM ascore) WHERE r = 1
+),
+prb AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c) AS r
+    FROM ascore WHERE {query_pred}) WHERE r <= {nprobe}
+),
+ic AS (
+  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+  FROM prb p JOIN asg a ON a.c = p.c
+  WHERE a.vec_id <> p.vec_id
+),
+ir AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM (SELECT ic.query_id, ic.neighbor_id,
+               list_cosine_similarity(eq.v, ec.v) AS sim
+        FROM ic JOIN e eq ON eq.vec_id = ic.query_id
+                JOIN e ec ON ec.vec_id = ic.neighbor_id)
+)
+SELECT method, query_id, neighbor_id, round(sim, 4) AS cos_sim
+FROM (SELECT 'lsh' AS method, * FROM lr WHERE rnk <= {k}
+      UNION ALL
+      SELECT 'ivf' AS method, * FROM ir WHERE rnk <= {k})
+"""
 
 
 def embedding_near_duplicates(
