@@ -37,7 +37,6 @@ from dataclasses import dataclass
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from autoprepad_spark.operators.profile import mad_from_counts, weighted_quantiles
 
@@ -74,13 +73,18 @@ def _col_histograms(
     for continuous/unbounded columns) instead of collecting an
     unbounded result to the driver.
 
-    Guard mechanics: the aggregated histogram is persisted on the
-    EXECUTORS (memory-and-disk — an oversized one spills instead of
-    OOMing anything), counted there, and only collected once the count
-    is under the cap. A LIMIT n+1 probe was measured strictly worse:
-    CollectLimit executes the final stage in incremental scale-up waves
-    and, under AQE, re-plans each wave — the expensive upstream scan ran
-    up to 4x per fit (~1-5s extra per query at sf0.1)."""
+    Guard mechanics (round 4): the cap rides the collecting action
+    itself — ``LIMIT max_cells+1`` on the aggregated frame, then one
+    Arrow collect. CollectLimitExec plans as per-partition localLimit
+    (each reduce task emits at most cap+1 cells) -> single-partition
+    shuffle -> globalLimit, so neither the driver nor any task ever
+    materializes more than ~cap cells and the upstream scan+agg executes
+    exactly ONCE. Measured at sf0.1 lineitem x3 cols (583k cells):
+    1.33s vs 5.53s for the round-3 persist->count->collect shape and
+    1.20s unguarded — the guard is now ~free (tools/fit_guard_ab.py).
+    (Round 3's note about LIMIT probes being 4x worse applied to a
+    SEPARATE limit+count probe action before a full collect; a limit on
+    the collecting action has no second pass to re-plan.)"""
     pairs = F.explode(
         F.array(
             *[
@@ -94,26 +98,22 @@ def _col_histograms(
     # Arrow-backed toPandas: a bounded-decimal column can easily have
     # 10^5-10^7 distinct cells — row-based collect() crawls through py4j,
     # the Arrow path moves the whole histogram in a few batches.
-    hist = (
+    pdf = (
         df.select(pairs.alias("p"))
         .select(F.col("p.c").alias("c"), F.col("p.v").alias("v"))
         .filter(F.col("v").isNotNull())
         .groupBy("c", "v")
         .agg(F.count(F.lit(1)).alias("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .limit(max_cells + 1)
+        .toPandas()
     )
-    try:
-        n_cells = hist.count()
-        if n_cells > max_cells:
-            raise ValueError(
-                f"histogram fit over {cols} exceeds {max_cells} distinct "
-                "cells — the column domain is not bounded; use "
-                "method='approx' (percentile_approx sketch) for continuous "
-                "columns"
-            )
-        pdf = hist.toPandas()
-    finally:
-        hist.unpersist()
+    if len(pdf) > max_cells:
+        raise ValueError(
+            f"histogram fit over {cols} exceeds {max_cells} distinct "
+            "cells — the column domain is not bounded; use "
+            "method='approx' (percentile_approx sketch) for continuous "
+            "columns"
+        )
     out = {}
     for c in cols:
         sub = pdf[pdf["c"] == c]

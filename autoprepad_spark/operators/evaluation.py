@@ -77,30 +77,29 @@ def quantized_score_hist(
     state: exact for bounded score domains (the integer flag-count case),
     quantized to ``bins`` uniform buckets when the domain is continuous.
 
-    The upstream plan executes exactly ONCE: the exact joint histogram
-    is persisted on the executors (memory-and-disk — a per-row-sized
-    one spills instead of OOMing), counted there as the domain probe,
-    and either collected directly (bounded case) or re-aggregated into
-    ``bins`` buckets FROM THE CACHE (continuous case — min/max and the
-    bucket rollup are tiny aggs over cached cells, never a second pass
-    over the input). The quantized fallback represents each bucket by
-    its midpoint, so downstream percentile thresholds carry a
-    documented tolerance of (max-min)/bins. A LIMIT n+1 probe was
-    measured strictly worse: CollectLimit's incremental scale-up waves
-    re-executed the expensive upstream under AQE (~4x per call)."""
+    Action shape (round 4): the bounded case — the common one (integer
+    flag counts, a handful of cells) — is ONE action: ``LIMIT
+    max_cells+1`` rides the collecting action itself, so per-partition
+    localLimit bounds every task's output and nothing oversized ever
+    reaches the driver (same measured-~free pattern as
+    stats._col_histograms, tools/fit_guard_ab.py). Only when the probe
+    proves the domain continuous (> max_cells cells) does the quantized
+    fallback run: the exact joint histogram is then persisted on the
+    executors (memory-and-disk — spills instead of OOMing), and min/max
+    plus the ``bins``-bucket rollup are tiny aggs over the cached cells.
+    The quantized fallback represents each bucket by its midpoint, so
+    downstream percentile thresholds carry a documented tolerance of
+    (max-min)/bins."""
     s = F.col(score_col).cast("double")
     keys = [s.alias("_s")] + ([y_true.cast("int").alias("_y")] if y_true is not None else [])
     base = df.filter(s.isNotNull())
-    hist = (
-        base.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    hist = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    probe = hist.limit(max_cells + 1).collect()
+    if len(probe) <= max_cells:
+        return probe
+    cached = hist.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        n_cells = hist.count()
-        if n_cells <= max_cells:
-            return hist.collect()
-        lo, hi = hist.agg(F.min("_s"), F.max("_s")).collect()[0]
+        lo, hi = cached.agg(F.min("_s"), F.max("_s")).collect()[0]
         width = (hi - lo) / bins if hi > lo else 1.0
         bucket = F.least(
             F.floor((F.col("_s") - F.lit(lo)) / F.lit(width)), F.lit(bins - 1)
@@ -108,10 +107,10 @@ def quantized_score_hist(
         mid = (F.lit(lo) + (bucket + 0.5) * F.lit(width)).alias("_s")
         keys = [mid] + ([F.col("_y")] if y_true is not None else [])
         return (
-            hist.groupBy(*keys).agg(F.sum("_n").alias("_n")).collect()
+            cached.groupBy(*keys).agg(F.sum("_n").alias("_n")).collect()
         )
     finally:
-        hist.unpersist()
+        cached.unpersist()
 
 
 def pr_sweep(

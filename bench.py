@@ -172,6 +172,11 @@ def run_headline() -> None:
         "calib_sec": _host_calibration(),
         "spark_calib_sec": spark_calib,
         "repeats_min_of": repeats,
+        # one-time costs memoized out of the min-of-N loop, reported so
+        # they stay visible instead of silently vanishing: RobustStats
+        # fits are shared across the robust-stat family (production
+        # fits once per input snapshot — __spark_entry__._FIT_CACHE)
+        "fit_secs": E._FIT_SECONDS,
     }))
 
 
