@@ -248,6 +248,38 @@ import struct as _struct
 
 BLOOM_DEFAULT_K = 4
 
+#: serialized-filter header (round 4, ADVICE r3): ``bloom_bytes`` output
+#: is MAGIC(4) | k(1) | reserved(3) | bitmap(m_bits/8). Carrying k in
+#: the bytes closes a silent-FALSE-NEGATIVE hole: probing with a larger
+#: k than the filter was built with tests bits that were never set, so
+#: a true duplicate could be routed past the incremental-dedup anti-join
+#: as "definitely fresh". With the header, ``bloom_contains`` always
+#: probes with the build-time k and rejects non-filter bytes outright.
+_BLOOM_MAGIC = b"APB1"
+_BLOOM_HEADER_LEN = 8
+
+#: driver-side densification budget for ``bloom_bytes`` (mirrors the
+#: histogram-fit guard): 1 GiB ~ 8.6e9 bits ~ 9e8 keys at 1% FPR. Past
+#: it, build one filter per epoch/shard-group and stack them (probe =
+#: OR of bloom_contains over the stack) — register frames stay fully
+#: mergeable, only the single dense bitmap is driver-bounded.
+BLOOM_MAX_BYTES = 1 << 30
+
+
+def bloom_header(bloom: bytes) -> tuple[int, int]:
+    """(m_bits, k) parsed back out of a ``bloom_bytes`` filter."""
+    if len(bloom) < _BLOOM_HEADER_LEN or bloom[:4] != _BLOOM_MAGIC:
+        raise ValueError(
+            "not a bloom_bytes filter (missing APB1 header) — rebuild with "
+            "bloom_bytes(); raw bitmaps without k are rejected because a "
+            "probe-k above build-k produces silent false negatives"
+        )
+    k = bloom[4]
+    m_bits = (len(bloom) - _BLOOM_HEADER_LEN) * 8
+    if k < 1 or m_bits <= 0 or m_bits % 64:
+        raise ValueError(f"corrupt bloom header: k={k}, m_bits={m_bits}")
+    return m_bits, k
+
 
 def bloom_size(n_keys: int, fpr: float = 0.01) -> tuple[int, int]:
     """(m_bits, k) for ``n_keys`` at target false-positive rate.
@@ -264,9 +296,17 @@ def bloom_size(n_keys: int, fpr: float = 0.01) -> tuple[int, int]:
 
 
 def _bloom_h1_h2(value: Column, m_bits: int) -> tuple[Column, Column]:
+    # h2 is forced ODD (|1): Kirsch-Mitzenmacher degenerates when
+    # h2 % m_bits == 0 — all k probes collapse onto h1, one bit per key,
+    # inflating FPR for ~1/m of keys. m_bits is a multiple of 64, so an
+    # odd h2 is never 0 mod m_bits and shares no factor 2 with it. The
+    # same |1 appears in the UDF probe and the pytest hashlib oracle —
+    # the three formulas move in lockstep (ADVICE r3).
     h = F.md5(value.cast("string"))
     h1 = F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(m_bits))
-    h2 = F.pmod(F.conv(F.substring(h, 16, 15), 16, 10).cast("long"), F.lit(m_bits))
+    h2 = F.pmod(
+        F.conv(F.substring(h, 16, 15), 16, 10).cast("long"), F.lit(m_bits)
+    ).bitwiseOR(F.lit(1))
     return h1, h2
 
 
@@ -314,18 +354,45 @@ def bloom_merge(*register_frames: DataFrame) -> DataFrame:
     return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
 
 
-def bloom_bytes(registers: DataFrame, m_bits: int) -> bytes:
-    """Densify a register frame into the m_bits/8-byte bitmap the probe
-    expression embeds. Collect is bounded at m_bits/64 rows by
-    construction (the register frame IS the aggregated filter)."""
+def bloom_bytes(
+    registers: DataFrame,
+    m_bits: int,
+    *,
+    k: int = BLOOM_DEFAULT_K,
+    max_bytes: int = BLOOM_MAX_BYTES,
+) -> bytes:
+    """Densify a register frame into the self-describing serialized
+    filter: APB1 header (carrying k) + m_bits/8-byte bitmap. Collect is
+    bounded at m_bits/64 rows by construction (the register frame IS
+    the aggregated filter). ``k`` MUST be the k the registers were
+    built with — it is stamped into the header so every later probe
+    uses it (a larger probe-k would silently produce false negatives).
+
+    The driver bitmap is capped at ``max_bytes`` (default 1 GiB,
+    ~9e8 keys at 1% FPR) and RAISES past it — the same
+    enforced-instead-of-silent contract as the histogram-fit guard.
+    At 10^10+ keys, build one filter per epoch/shard-group and stack
+    them: register frames merge exactly (bloom_merge), and a stacked
+    probe is the OR of the per-filter bloom_contains predicates."""
     if m_bits % 64 or m_bits <= 0:
         raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
-    buf = bytearray(m_bits // 8)
+    if not 1 <= k <= 255:
+        raise ValueError(f"k must be in [1, 255], got {k}")
+    if m_bits // 8 + _BLOOM_HEADER_LEN > max_bytes:
+        raise ValueError(
+            f"bloom_bytes would densify a {m_bits // 8}-byte driver bitmap "
+            f"(> max_bytes={max_bytes}); keep the filter as its mergeable "
+            "register frame and stack per-epoch filters instead — probe "
+            "with the OR of bloom_contains over the stack"
+        )
+    buf = bytearray(_BLOOM_HEADER_LEN + m_bits // 8)
+    buf[:4] = _BLOOM_MAGIC
+    buf[4] = k
     for row in registers.collect():
         w = row["word"]
         if not 0 <= w < m_bits // 64:
             raise ValueError(f"register word {w} outside m_bits={m_bits}")
-        _struct.pack_into("<q", buf, w * 8, row["bits"])
+        _struct.pack_into("<q", buf, _BLOOM_HEADER_LEN + w * 8, row["bits"])
     return bytes(buf)
 
 
@@ -342,13 +409,19 @@ def bloom_contains(
     col: str | Column,
     bloom: bytes,
     *,
-    k: int = BLOOM_DEFAULT_K,
+    k: int | None = None,
     method: str = "auto",
 ) -> Column:
     """Membership predicate against a ``bloom_bytes`` filter: true iff
     all k probe bits are set (possible member / definite dup candidate);
     false = DEFINITELY not inserted. Null input -> false (nulls are
     never inserted).
+
+    k comes from the filter's own header (bloom_bytes stamps the
+    build-time k); passing ``k`` explicitly is a cross-check only and
+    raises on disagreement — the stale-call-site bug it catches is a
+    probe-k larger than build-k, which silently yields FALSE NEGATIVES
+    (bits never set test as missing).
 
     Two physical strategies with IDENTICAL semantics (pytest-proven
     bit-equal; both are md5 over the value's string form, so use
@@ -366,9 +439,14 @@ def bloom_contains(
       expression alternative measured slower (lm_quality, classifier).
     * ``auto`` (default) — expr up to 128 KB, udf beyond.
     """
-    m_bits = len(bloom) * 8
-    if m_bits % 64 or m_bits == 0:
-        raise ValueError(f"bloom must be a positive multiple of 8 bytes, got {len(bloom)}")
+    m_bits, file_k = bloom_header(bloom)
+    if k is not None and k != file_k:
+        raise ValueError(
+            f"probe k={k} disagrees with the filter's build k={file_k} "
+            "(header); probing with a different k than the build either "
+            "weakens the filter or produces silent false negatives"
+        )
+    k = file_k
     if method not in ("auto", "expr", "udf"):
         raise ValueError(f"method must be auto|expr|udf, got {method!r}")
     if method == "auto":
@@ -388,7 +466,13 @@ def bloom_contains(
     for i in range(k):
         p = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
         byte_val = F.conv(
-            F.hex(F.substring(blit, (F.shiftright(p, 3) + F.lit(1)).cast("int"), 1)),
+            F.hex(
+                F.substring(
+                    blit,
+                    (F.shiftright(p, 3) + F.lit(_BLOOM_HEADER_LEN + 1)).cast("int"),
+                    1,
+                )
+            ),
             16,
             10,
         ).cast("int")
@@ -404,8 +488,9 @@ def _bloom_contains_udf(c: Column, bloom: bytes, k: int) -> Column:
     spark = SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError("bloom_contains(method='udf') needs an active session")
-    m_bits = len(bloom) * 8
-    bc = spark.sparkContext.broadcast(bloom)
+    m_bits = (len(bloom) - _BLOOM_HEADER_LEN) * 8
+    # ship only the bitmap; header already parsed driver-side
+    bc = spark.sparkContext.broadcast(bloom[_BLOOM_HEADER_LEN:])
 
     @pandas_udf("boolean")
     def probe(s: pd.Series) -> pd.Series:
@@ -419,7 +504,7 @@ def _bloom_contains_udf(c: Column, bloom: bytes, k: int) -> Column:
                 continue
             hx = hashlib.md5(str(v).encode()).hexdigest()
             h1 = int(hx[:15], 16) % m_bits
-            h2 = int(hx[15:30], 16) % m_bits
+            h2 = (int(hx[15:30], 16) % m_bits) | 1
             ok = True
             for i in range(k):
                 p = (h1 + i * h2) % m_bits

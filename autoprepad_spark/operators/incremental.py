@@ -203,7 +203,7 @@ def split_exact_against_index(
     id_col: str = "doc_id",
     prefilter_history: bool = True,
     history_bloom: bytes | None = None,
-    bloom_k: int = 4,
+    bloom_k: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The exact pass alone: ``(fresh, exact_dropped)``.
 
@@ -243,6 +243,8 @@ def split_exact_against_index(
         # without the bloom (pytest-proven) — it only routes rows.
         from autoprepad_spark.functions.sketches import bloom_contains
 
+        # k travels IN the filter bytes (APB1 header) since r4; passing
+        # bloom_k is an optional cross-check that raises on mismatch
         maybe = bloom_contains("content_hash", history_bloom, k=bloom_k)
         definitely_fresh = new_hashed.filter(~maybe)
         new_hashed = new_hashed.filter(maybe)

@@ -16,14 +16,19 @@ from autoprepad_spark.operators import incremental as inc
 
 
 def _py_bloom(keys, m_bits, k) -> bytes:
-    buf = bytearray(m_bits // 8)
+    """Byte-exact oracle for the serialized filter: APB1 header (magic,
+    k) + bitmap, h2 forced odd (|1) — in lockstep with _bloom_h1_h2 and
+    the UDF probe."""
+    buf = bytearray(8 + m_bits // 8)
+    buf[:4] = b"APB1"
+    buf[4] = k
     for key in keys:
         hx = hashlib.md5(str(key).encode()).hexdigest()
         h1 = int(hx[:15], 16) % m_bits
-        h2 = int(hx[15:30], 16) % m_bits
+        h2 = (int(hx[15:30], 16) % m_bits) | 1
         for i in range(k):
             p = (h1 + i * h2) % m_bits
-            buf[p >> 3] |= 1 << (p & 7)
+            buf[8 + (p >> 3)] |= 1 << (p & 7)
     return bytes(buf)
 
 
@@ -46,13 +51,13 @@ def keys_df(spark):
 def test_bloom_bytes_match_python_oracle(spark, keys_df):
     m, k = S.bloom_size(2000, 0.01)
     assert m % 64 == 0 and k >= 1
-    got = S.bloom_bytes(S.bloom_registers(keys_df, "v", m_bits=m, k=k), m)
+    got = S.bloom_bytes(S.bloom_registers(keys_df, "v", m_bits=m, k=k), m, k=k)
     assert got == _py_bloom([f"key-{i}" for i in range(2000)], m, k)
 
 
 def test_no_false_negatives_and_fpr_bound(spark, keys_df):
     m, k = S.bloom_size(2000, 0.01)
-    b = S.bloom_bytes(S.bloom_registers(keys_df, "v", m_bits=m, k=k), m)
+    b = S.bloom_bytes(S.bloom_registers(keys_df, "v", m_bits=m, k=k), m, k=k)
     probe = spark.createDataFrame(
         [(f"key-{i}",) for i in range(2000)]
         + [(f"non-{i}",) for i in range(20000)],
@@ -75,13 +80,13 @@ def test_merge_is_exact_union(spark, keys_df):
     full = S.bloom_registers(keys_df, "v", m_bits=m, k=k)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
     # byte form identical too
-    assert S.bloom_bytes(merged, m) == S.bloom_bytes(full, m)
+    assert S.bloom_bytes(merged, m, k=k) == S.bloom_bytes(full, m, k=k)
 
 
 def test_nulls_and_validation(spark):
     m, k = 1024, 3
     df = spark.createDataFrame([("a",), (None,), ("b",)], "v string")
-    b = S.bloom_bytes(S.bloom_registers(df, "v", m_bits=m, k=k), m)
+    b = S.bloom_bytes(S.bloom_registers(df, "v", m_bits=m, k=k), m, k=k)
     got = df.select("v", S.bloom_contains("v", b, k=k).alias("m")).collect()
     assert {r["v"]: r["m"] for r in got} == {"a": True, None: False, "b": True}
     with pytest.raises(ValueError):
@@ -89,7 +94,9 @@ def test_nulls_and_validation(spark):
     with pytest.raises(ValueError):
         S.bloom_size(0, 0.01)
     with pytest.raises(ValueError):
-        S.bloom_contains("v", b"\x00\x01\x02", k=k)  # not whole words
+        S.bloom_contains("v", b"\x00\x01\x02", k=k)  # no APB1 header
+    with pytest.raises(ValueError):
+        S.bloom_contains("v", b, k=k + 1)  # probe k != build k
 
 
 def test_long_keys_match_oracle(spark):
@@ -99,7 +106,7 @@ def test_long_keys_match_oracle(spark):
     df = spark.createDataFrame(
         [(i,) for i in (-(2**63), -1, 0, 7, 2**63 - 1)], "v long"
     )
-    got = S.bloom_bytes(S.bloom_registers(df, "v", m_bits=m, k=k), m)
+    got = S.bloom_bytes(S.bloom_registers(df, "v", m_bits=m, k=k), m, k=k)
     assert got == _py_bloom([-(2**63), -1, 0, 7, 2**63 - 1], m, k)
 
 
@@ -122,7 +129,7 @@ def test_bloom_gate_preserves_split_semantics(spark):
     )
     m, k = S.bloom_size(400, 0.01)
     bloom = S.bloom_bytes(
-        S.bloom_registers(index, "content_hash", m_bits=m, k=k), m
+        S.bloom_registers(index, "content_hash", m_bits=m, k=k), m, k=k
     )
     f0, d0 = inc.split_exact_against_index(shard, index)
     f1, d1 = inc.split_exact_against_index(
@@ -138,7 +145,7 @@ def test_bloom_gate_preserves_split_semantics(spark):
 
 def test_bloom_probe_plan_is_scan_level(spark, keys_df, tmp_path):
     m, k = S.bloom_size(2000, 0.01)
-    b = S.bloom_bytes(S.bloom_registers(keys_df, "v", m_bits=m, k=k), m)
+    b = S.bloom_bytes(S.bloom_registers(keys_df, "v", m_bits=m, k=k), m, k=k)
     p = str(tmp_path / "keys.parquet")
     keys_df.write.mode("overwrite").parquet(p)
     plan = _plan_of(spark.read.parquet(p).filter(S.bloom_contains("v", b, k=k)))
@@ -150,7 +157,7 @@ def test_bloom_probe_plan_is_scan_level(spark, keys_df, tmp_path):
 
 def test_udf_and_expr_paths_agree_bit_for_bit(spark, keys_df):
     m, k = S.bloom_size(2000, 0.01)
-    b = S.bloom_bytes(S.bloom_registers(keys_df, "v", m_bits=m, k=k), m)
+    b = S.bloom_bytes(S.bloom_registers(keys_df, "v", m_bits=m, k=k), m, k=k)
     probe = spark.createDataFrame(
         [(f"key-{i}",) for i in range(500)]
         + [(f"non-{i}",) for i in range(5000)]
@@ -165,11 +172,43 @@ def test_udf_and_expr_paths_agree_bit_for_bit(spark, keys_df):
     assert all(r["e"] == r["u"] for r in got)
     # long keys too (the incremental gate's content_hash column)
     dfl = spark.createDataFrame([(i,) for i in range(-3, 4)], "v long")
-    bl = S.bloom_bytes(S.bloom_registers(dfl, "v", m_bits=1024, k=3), 1024)
+    bl = S.bloom_bytes(S.bloom_registers(dfl, "v", m_bits=1024, k=3), 1024, k=3)
     gl = dfl.select(
         S.bloom_contains("v", bl, k=3, method="expr").alias("e"),
         S.bloom_contains("v", bl, k=3, method="udf").alias("u"),
     ).collect()
     assert all(r["e"] and r["u"] for r in gl)
-    with pytest.raises(ValueError):
-        S.bloom_contains("v", bytes(2 * 1024 * 1024), k=3, method="expr")
+    with pytest.raises(ValueError):  # valid header, oversized for expr
+        big = S._BLOOM_MAGIC + bytes([3, 0, 0, 0]) + bytes(2 * 1024 * 1024)
+        S.bloom_contains("v", big, method="expr")
+
+
+def test_header_roundtrip_and_densify_cap(spark):
+    """Round-4 contract: k travels in the bytes (ADVICE r3 medium), and
+    bloom_bytes enforces a driver-bitmap budget with the stack-per-epoch
+    guidance (VERDICT r3 next-round #6)."""
+    m, k = 1024, 5
+    df = spark.createDataFrame([("x",), ("y",)], "v string")
+    regs = S.bloom_registers(df, "v", m_bits=m, k=k)
+    b = S.bloom_bytes(regs, m, k=k)
+    assert S.bloom_header(b) == (m, k)
+    assert len(b) == 8 + m // 8
+    # probing without k uses the header's k (no silent false negatives)
+    got = df.select(S.bloom_contains("v", b).alias("m")).collect()
+    assert all(r["m"] for r in got)
+    # oversized densification raises with the stacking guidance
+    with pytest.raises(ValueError, match="stack per-epoch|register frame"):
+        S.bloom_bytes(regs, m, k=k, max_bytes=64)
+
+
+def test_h2_forced_odd_prevents_probe_collapse():
+    """Kirsch-Mitzenmacher degenerate case (ADVICE r3): when the raw
+    h2 % m_bits lands on 0, the |1 keeps the k probes distinct instead
+    of collapsing onto h1. Verified structurally on the oracle formula:
+    an odd h2 in [1, m_bits-1] over an even m_bits never yields
+    identical consecutive probes."""
+    m_bits = 640
+    for raw_h2 in (0, m_bits, 2 * m_bits):  # all ≡ 0 (the collapse case)
+        h2 = (raw_h2 % m_bits) | 1
+        probes = {(123 + i * h2) % m_bits for i in range(4)}
+        assert len(probes) == 4

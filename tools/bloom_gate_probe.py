@@ -144,7 +144,8 @@ def run_worker(mode: str, cores: int) -> None:
         t0 = time.monotonic()
         m_bits, k = S.bloom_size(H_ROWS, FPR)
         bloom = S.bloom_bytes(
-            S.bloom_registers(index, "content_hash", m_bits=m_bits, k=k), m_bits
+            S.bloom_registers(index, "content_hash", m_bits=m_bits, k=k),
+            m_bits, k=k,
         )
         bloom_fit_s = time.monotonic() - t0
 
