@@ -157,8 +157,24 @@ def fit_hashed_ngrams(
     grams = hashed_ngram_buckets(
         text_col, buckets=buckets, bigrams=bigrams, method=method
     )
+    # the fit's feature-space parameters ride the SCHEMA as column
+    # metadata (not extra rows/columns — the (bucket, cnt) shape and
+    # every DuckDB oracle stay untouched). Column metadata survives
+    # transformations, groupBy-sum shard merges, and parquet
+    # round-trips, so dsir_log_weights can refuse a fit built with a
+    # different (buckets, bigrams, method) than the scoring call —
+    # a mismatch (e.g. fit with method='md5', score with the default
+    # 'hash64') would otherwise yield silently meaningless weights.
+    meta = {
+        "dsir_buckets": buckets,
+        "dsir_bigrams": bool(bigrams),
+        "dsir_method": method,
+    }
     return (
         df.select(F.explode(grams).alias("bucket"))
+        # re-alias AFTER the explode: Generate output attributes drop
+        # alias metadata, a plain column alias keeps it
+        .select(F.col("bucket").alias("bucket", metadata=meta))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -204,7 +220,27 @@ def dsir_log_weights(
     plan as ONE array<double> literal (O(1) element_at — deliberately
     not a MapType literal) and the weight is a left fold over the gram
     array: scan-level projection, no shuffle, no Python. Docs with no
-    grams get weight 0.0 (w = 1: no evidence either way)."""
+    grams get weight 0.0 (w = 1: no evidence either way).
+
+    Fit/score agreement is ENFORCED: fits from ``fit_hashed_ngrams``
+    carry their (buckets, bigrams, method) in the bucket column's
+    schema metadata, and this call raises if either fit disagrees with
+    the scoring parameters — scoring through a different feature space
+    than the fit's would produce silently meaningless weights. Fits
+    from other producers (no metadata, e.g. the DuckDB oracle frame)
+    are accepted as-is: the caller owns agreement then."""
+    for label, fit in (("target_fit", target_fit), ("raw_fit", raw_fit)):
+        md = dict(fit.schema["bucket"].metadata or {})
+        if "dsir_buckets" not in md:
+            continue
+        got = (md["dsir_buckets"], bool(md["dsir_bigrams"]), md["dsir_method"])
+        want = (buckets, bool(bigrams), method)
+        if got != want:
+            raise ValueError(
+                f"{label} was fit with (buckets, bigrams, method)={got} "
+                f"but dsir_log_weights was called with {want} — the fit "
+                "and scoring feature spaces must match exactly"
+            )
     if buckets > 65536:
         # the λ table rides the PLAN as an array literal (one element
         # per bucket); past ~64k the literal bloats analysis and task
@@ -285,7 +321,11 @@ def fit_oracle_sql(docs_sql: str, *, buckets: int = 10_000) -> str:
     word-pair bigrams joined by one space), the top-32-md5-bit bucket,
     and the counts all mirror the Spark expressions token for token;
     the hex parse is spelled as nibble arithmetic because DuckDB has no
-    conv()."""
+    conv(). The whitespace split is the EXPLICIT class
+    ``[ \\t\\n\\x0b\\f\\r]+`` rather than ``\\s+`` because the engines'
+    regex dialects disagree on vertical tab: Java's ``\\s`` (Spark)
+    includes \\x0b, RE2's (DuckDB) does not — with ``\\s+`` a text
+    containing \\v would tokenize differently in the oracle."""
     nibbles = " + ".join(
         f"(strpos('0123456789abcdef', md5(g)[{j + 1}]) - 1) * {16 ** (7 - j)}"
         for j in range(8)
@@ -295,7 +335,7 @@ WITH docs AS ({docs_sql}),
 norm AS (
   SELECT list_filter(
            string_split(
-             trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')),
+             trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')),
              ' '),
            w -> w <> '') AS ws
   FROM docs

@@ -267,3 +267,76 @@ def test_fit_matches_duckdb_oracle(spark, corpora, tmp_path):
     )
     want = sorted(duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_fit_metadata_mismatch_raises(spark, corpora):
+    """Fits stamp (buckets, bigrams, method) into the bucket column's
+    schema metadata; dsir_log_weights must refuse a fit built with a
+    different feature space (ADVICE r3: a silent mismatch — fit md5,
+    score hash64 — yields meaningless weights)."""
+    target, raw = corpora
+    t_fit = dsir.fit_hashed_ngrams(target, buckets=BUCKETS, method="md5")
+    q_fit = dsir.fit_hashed_ngrams(raw, buckets=BUCKETS, method="md5")
+    # method mismatch (the easy silent one: md5 fit, default hash64 score)
+    with pytest.raises(ValueError, match="feature spaces must match"):
+        dsir.dsir_log_weights(raw, t_fit, q_fit, buckets=BUCKETS, method="hash64")
+    # buckets mismatch
+    with pytest.raises(ValueError, match="feature spaces must match"):
+        dsir.dsir_log_weights(raw, t_fit, q_fit, buckets=BUCKETS + 2, method="md5")
+    # bigrams mismatch
+    with pytest.raises(ValueError, match="feature spaces must match"):
+        dsir.dsir_log_weights(
+            raw, t_fit, q_fit, buckets=BUCKETS, method="md5", bigrams=False
+        )
+    # agreement passes
+    dsir.dsir_log_weights(raw, t_fit, q_fit, buckets=BUCKETS, method="md5")
+
+
+def test_fit_metadata_survives_merge_and_parquet(spark, corpora, tmp_path):
+    """The metadata stamp must ride the mergeable-profile contract:
+    groupBy-sum shard merges and parquet round-trips keep it, so the
+    guard still fires on fits read back from disk."""
+    target, raw = corpora
+    a = dsir.fit_hashed_ngrams(target, buckets=BUCKETS, method="md5")
+    b = dsir.fit_hashed_ngrams(raw, buckets=BUCKETS, method="md5")
+    merged = (
+        a.unionByName(b).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert merged.schema["bucket"].metadata["dsir_method"] == "md5"
+    p = str(tmp_path / "fit.parquet")
+    merged.write.mode("overwrite").parquet(p)
+    back = spark.read.parquet(p)
+    assert back.schema["bucket"].metadata["dsir_buckets"] == BUCKETS
+    with pytest.raises(ValueError, match="feature spaces must match"):
+        dsir.dsir_log_weights(raw, back, back, buckets=BUCKETS, method="hash64")
+
+
+def test_vertical_tab_oracle_parity(spark, tmp_path):
+    """ADVICE r3: Java's \\s includes \\x0b, RE2's does not — the oracle
+    now splits on the explicit class [ \\t\\n\\x0b\\f\\r]+ so texts
+    containing vertical tab tokenize identically in both engines."""
+    import duckdb
+
+    rows = [
+        (0, "alpha\x0bbeta gamma"),       # \v must split words like Spark does
+        (1, "tab\tand\x0b\x0bdouble vt"),
+        (2, "plain text no vt"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    p = str(tmp_path / "vt.parquet")
+    df.write.mode("overwrite").parquet(p)
+    got = sorted(
+        (r["bucket"], r["cnt"])
+        for r in dsir.fit_hashed_ngrams(
+            spark.read.parquet(p), buckets=BUCKETS, method="md5"
+        ).collect()
+    )
+    sql = dsir.fit_oracle_sql(
+        f"SELECT doc_id, text FROM read_parquet('{p}/*.parquet')",
+        buckets=BUCKETS,
+    )
+    want = sorted(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+    # sanity: \v really did split — 'alpha' and 'beta' are separate grams
+    n_grams = sum(c for _, c in got)
+    assert n_grams == (3 + 2) + (4 + 3) + (4 + 3)  # uni + bi per doc

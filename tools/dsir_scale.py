@@ -56,7 +56,14 @@ def run_worker(method: str, cores: int, rows: int) -> None:
         f"dsir-{method}-{cores}", cores=cores, shuffle_partitions=cores
     )
     docs = spark.read.parquet(_corpus_path(rows))
-    target = docs.filter(F.col("doc_id") % 20 == 0).limit(50_000)
+    # deterministic target slice: every-20th doc_id below a fixed bound
+    # (exactly 50k docs when rows >= 1M). A bare limit(50_000) is NOT
+    # guaranteed to pick the same rows at different core counts, which
+    # would let the lambda table differ between the N and 4N workers
+    # and spuriously fail the cross-parallelism identity check.
+    target = docs.filter(
+        (F.col("doc_id") % 20 == 0) & (F.col("doc_id") < 1_000_000)
+    )
 
     t0 = time.monotonic()
     t_fit = dsir.fit_hashed_ngrams(
