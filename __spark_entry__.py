@@ -674,11 +674,14 @@ def q_embedding_ann_topk(spark, sf):
 
 def q_multimodal_features(spark, sf):
     """REAL decode, oracle-exact since r03: payloads are 24-bit BMP /
-    PCM WAV / uncompressed AVI built by synth_media_arith, where every
+    PCM WAV / uncompressed video built by synth_media_arith, where every
     decoded element is a closed-form function of the row index — so the
     DuckDB oracle re-derives each row's decoded element count and sum
     analytically while Spark gets them by actually parsing the bytes
-    (multimodal.decode_stats -> _decode_payload)."""
+    (multimodal.decode_stats -> _decode_payload). Video rows alternate
+    between the AVI and Y4M containers (r4): both demux to the same
+    closed-form elements, so the analytic oracle is container-blind
+    while the Spark side exercises both real demuxers."""
     from autoprepad_spark.operators.multimodal import decode_stats, synth_media_arith
 
     media = synth_media_arith(spark, n=64)

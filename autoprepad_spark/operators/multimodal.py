@@ -7,11 +7,14 @@ signatures, batch shapes, and tests. Codecs:
 * image — REAL: uncompressed 24-bit BMP encode/decode implemented here
   with struct + numpy (no external imaging library needed),
 * audio  — REAL: PCM WAV via the stdlib ``wave`` module,
-* video  — REAL for uncompressed AVI: a RIFF/AVI container demuxer
-  implemented here (hdrl/strl/strf headers, `movi` '00db' DIB frame
-  chunks, idx1 index) — struct-only, no ffmpeg. Compressed codecs
-  (H.264 etc.) genuinely need ffmpeg and raise NotImplementedError;
-  swapping in a fuller decoder touches ONLY ``_decode_payload``.
+* video  — REAL for two uncompressed containers, sniffed by magic in
+  ``_decode_payload``: RIFF/AVI (hdrl/strl/strf headers, `movi` '00db'
+  DIB frame chunks, idx1 index) and YUV4MPEG2/Y4M (C444 full-res
+  planes — the ffmpeg/x264 interchange format). Both struct/numpy-only,
+  no ffmpeg. Compressed codecs (H.264 etc.) and subsampled Y4M
+  (C420/C422, which need a chroma-upsampling policy) genuinely need
+  ffmpeg and raise NotImplementedError; swapping in a fuller decoder
+  touches ONLY ``_decode_payload``.
 
 Scale notes: media rows are large — the operators repartition by a hash
 of the id before the Python stage so Arrow batches are balanced, and
@@ -157,6 +160,77 @@ def encode_avi(frames: np.ndarray, *, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def encode_y4m(frames: np.ndarray, *, fps: int = 10) -> bytes:
+    """(N, H, W, 3) uint8 4:4:4 YCbCr planes -> YUV4MPEG2 (Y4M) bytes.
+
+    Y4M is the uncompressed interchange format (what ffmpeg/x264 pipe
+    between each other): one ASCII stream header, then per frame a
+    ``FRAME\\n`` marker followed by the raw planes. C444 keeps all
+    three planes full-resolution so encode/decode round-trips
+    byte-exactly — no chroma subsampling loss. The last axis is the
+    plane index (Y, Cb, Cr); Y4M carries YCbCr by definition, so no
+    RGB conversion (which would round) is involved."""
+    frames = np.asarray(frames).astype(np.uint8, copy=False)
+    nf, h, w, _ = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode()
+    parts = [head]
+    for i in range(nf):
+        parts.append(b"FRAME\n")
+        # plane-major: full Y plane, then Cb, then Cr
+        parts.append(np.ascontiguousarray(frames[i].transpose(2, 0, 1)).tobytes())
+    return b"".join(parts)
+
+
+def _y4m_layout(b: bytes) -> tuple[int, int, list[int]]:
+    """Parse the Y4M stream header + frame markers without touching
+    plane bytes. Returns (width, height, [frame_plane_offset, ...]).
+    Tags are parsed generically; subsampled colorspaces (C420/C422)
+    raise NotImplementedError — decoding them needs a chroma
+    upsampling policy, i.e. ffmpeg, absent in this environment."""
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M payload")
+    eol = b.index(b"\n")
+    w = h = None
+    cs = "C420jpeg"  # the spec default when no C tag is present
+    for tag in b[9:eol].split():
+        t = tag.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "C":
+            cs = t
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if cs != "C444":
+        raise NotImplementedError(
+            f"subsampled Y4M colorspace {cs} needs chroma upsampling "
+            "(ffmpeg), absent in this environment; C444 decodes for real"
+        )
+    fsz = 3 * w * h
+    offs, pos = [], eol + 1
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos = b.index(b"\n", pos) + 1  # FRAME may carry its own params
+        offs.append(pos)
+        pos += fsz
+    return w, h, offs
+
+
+def decode_y4m(b: bytes, frame_indices: list[int] | None = None) -> np.ndarray:
+    """Y4M bytes -> (N, H, W, 3) uint8 YCbCr planes. ``frame_indices``
+    decodes only the selected frames (the header walk is metadata-only,
+    same contract as decode_avi)."""
+    w, h, offs = _y4m_layout(b)
+    idx = range(len(offs)) if frame_indices is None else frame_indices
+    out = []
+    for i in idx:
+        raw = np.frombuffer(b, dtype=np.uint8, count=3 * w * h, offset=offs[i])
+        out.append(raw.reshape(3, h, w).transpose(1, 2, 0))
+    return np.stack(out)
+
+
 def _avi_layout(b: bytes) -> tuple[int, int, int, list[tuple[int, int]]]:
     """Parse AVI container structure without touching frame payloads.
 
@@ -228,6 +302,9 @@ def _decode_payload(payload: bytes, kind: str, *, fake: bool) -> np.ndarray:
         s = decode_wav(payload).astype(np.float32)
         return s / 256.0 + 128.0  # int16 -> [0, 256) scale
     if kind == "video":
+        # container sniff: RIFF/AVI vs YUV4MPEG2 — both real demuxers
+        if payload[:9] == b"YUV4MPEG2":
+            return decode_y4m(payload).reshape(-1).astype(np.float32)
         return decode_avi(payload).reshape(-1).astype(np.float32)
     raise NotImplementedError(f"unknown media kind {kind!r}")
 
@@ -436,9 +513,11 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             height = width = int(rng.integers(4, 16))
             frames = rng.integers(0, 256, size=(nf, height, width, 3), dtype=np.uint8)
             fps = 10
-            payload = encode_avi(frames, fps=fps)
+            if (i // 3) % 2 == 0:
+                payload, mime = encode_avi(frames, fps=fps), "video/avi"
+            else:
+                payload, mime = encode_y4m(frames, fps=fps), "video/x-yuv4mpeg"
             duration = int(nf * 1000 / fps)
-            mime = "video/avi"
         rows.append(
             (f"m-{i:06d}", kind, bytearray(payload), mime, width, height, duration)
         )
@@ -484,9 +563,14 @@ def synth_media_arith(spark, n: int = 64) -> DataFrame:
             height = width = 4 + (i * 5) % 12
             f, y, x, c = np.ogrid[0:nf, 0:height, 0:width, 0:3]
             frames = ((i * 17 + f * 29 + y * 13 + x * 7 + c * 5) % 256).astype(np.uint8)
-            payload = encode_avi(frames, fps=10)
+            # alternate containers: both demux to the SAME closed-form
+            # element values, so the analytic oracle is container-blind
+            # while Spark's decode exercises both real paths
+            if (i // 3) % 2 == 0:
+                payload, mime = encode_avi(frames, fps=10), "video/avi"
+            else:
+                payload, mime = encode_y4m(frames, fps=10), "video/x-yuv4mpeg"
             duration = nf * 100
-            mime = "video/avi"
         rows.append(
             (f"m-{i:06d}", kind, bytearray(payload), mime, width, height, duration)
         )

@@ -394,6 +394,44 @@ def test_avi_codec_roundtrip_and_demux():
         decode_avi(bytes(comp))
 
 
+def test_y4m_codec_roundtrip_and_demux():
+    import numpy as np
+
+    from autoprepad_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(13)
+    # odd width: Y4M has no row padding, planes are exactly h*w each
+    fr = rng.integers(0, 256, size=(4, 6, 7, 3), dtype=np.uint8)
+    b = encode_y4m(fr, fps=25)
+    assert b.startswith(b"YUV4MPEG2 W7 H6 F25:1")
+    assert np.array_equal(decode_y4m(b), fr)
+    # selective frame decode (header walk is metadata-only)
+    sel = decode_y4m(b, [3, 1])
+    assert np.array_equal(sel[0], fr[3]) and np.array_equal(sel[1], fr[1])
+    # subsampled colorspace -> NotImplementedError (honest boundary:
+    # chroma upsampling needs ffmpeg)
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b.replace(b"C444", b"C420", 1))
+    # non-Y4M bytes -> ValueError
+    with pytest.raises(ValueError):
+        decode_y4m(b"JUNK" + b[4:])
+
+
+def test_video_container_sniff_in_decode_payload():
+    import numpy as np
+
+    from autoprepad_spark.operators.multimodal import (
+        _decode_payload, encode_avi, encode_y4m,
+    )
+
+    fr = np.arange(2 * 4 * 4 * 3, dtype=np.int64).astype(np.uint8).reshape(2, 4, 4, 3)
+    a = _decode_payload(encode_avi(fr), "video", fake=False)
+    y = _decode_payload(encode_y4m(fr), "video", fake=False)
+    # both containers demux to the same element values
+    assert np.array_equal(a, y)
+    assert a.size == 2 * 4 * 4 * 3
+
+
 def test_synth_media_arith_matches_formulas(spark):
     import numpy as np
 
@@ -409,11 +447,21 @@ def test_synth_media_arith_matches_formulas(spark):
     s = decode_wav(bytes(rows["m-000001"]["payload"]))  # i=1: audio
     j = np.arange(len(s))
     assert np.array_equal(s, (((1 * 97 + j * 31) % 65536) - 32768).astype(np.int16))
-    fr = decode_avi(bytes(rows["m-000002"]["payload"]))  # i=2: video
+    fr = decode_avi(bytes(rows["m-000002"]["payload"]))  # i=2: video (AVI)
     nf, h, w = fr.shape[:3]
     f, y, x, c = np.ogrid[0:nf, 0:h, 0:w, 0:3]
     assert np.array_equal(
         fr, ((2 * 17 + f * 29 + y * 13 + x * 7 + c * 5) % 256).astype(np.uint8)
+    )
+    # i=5: video rows alternate container — this one is Y4M, same formula
+    from autoprepad_spark.operators.multimodal import decode_y4m
+
+    assert rows["m-000005"]["mime"] == "video/x-yuv4mpeg"
+    fr = decode_y4m(bytes(rows["m-000005"]["payload"]))
+    nf, h, w = fr.shape[:3]
+    f, y, x, c = np.ogrid[0:nf, 0:h, 0:w, 0:3]
+    assert np.array_equal(
+        fr, ((5 * 17 + f * 29 + y * 13 + x * 7 + c * 5) % 256).astype(np.uint8)
     )
 
 
