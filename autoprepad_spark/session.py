@@ -19,12 +19,18 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     cores: local[N] thread count; default $SPARK_GRAFT_CPUS or all cores.
     shuffle_partitions: defaults to max(2*cores, 32) — on a real cluster
     this would be ~2-3x total executor cores so AQE can coalesce down.
+    master: override the master URL (e.g. ``local-cluster[8,1,8192]`` for
+    the cross-JVM scaling probes — separate executor JVMs = separate
+    heaps/allocation domains, the closest sandbox analog of a real
+    multi-executor cluster); ``cores`` should then be the TOTAL task
+    cores so shuffle partitioning stays comparable.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -39,7 +45,9 @@ def get_spark(
     under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
 
     builder = SparkSession.builder.appName(app_name)
-    if not under_submit:
+    if master is not None:
+        builder = builder.master(master)
+    elif not under_submit:
         builder = builder.master(f"local[{cores}]")
     builder = (
         builder
