@@ -114,6 +114,25 @@ def run_worker(cores: int, rows: int, jvm_workers: int | None = None) -> None:
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     os.environ.setdefault("SPARK_JAVA_OPTS", "-XX:+UseG1GC")
+    # Task-granularity tuning (round 4, measured): the level-8 cross-JVM
+    # run's stage metrics showed util 0.54-0.89 on every big stage with
+    # GC ~0, fetch-wait ~0 and cpu==run — slots were IDLE, not slow. Two
+    # coarseness sources: (a) the scan bin-packed 8M docs into 20 splits
+    # (2.5 waves of 8 -> last-wave tail), and (b) AQE parallelismFirst
+    # coalesces post-shuffle stages down to default.parallelism (=slots)
+    # — exactly ONE wave, the configuration most sensitive to task-time
+    # variance (E[max of k] grows with k, so the BIGGER level loses
+    # more, depressing measured scaling). Fix = the standard cluster
+    # guidance, applied identically at both levels so per-slot
+    # granularity matches: >=4 waves via a 4x-slots AQE floor and 32 MB
+    # scan splits. DEDUP_COARSE=1 reproduces the old defaults.
+    coarse = bool(os.environ.get("DEDUP_COARSE"))
+    slots = jvm_workers or cores
+    gran_conf = {} if coarse else {
+        "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+        "spark.default.parallelism": str(4 * slots),
+    }
+    gran_shuffle = None if coarse else max(16 * slots, 32)
     if jvm_workers:
         # cross-JVM variant (VERDICT r3 next-round #4): N single-core
         # executor JVMs instead of N threads in one JVM — separate heaps
@@ -126,9 +145,15 @@ def run_worker(cores: int, rows: int, jvm_workers: int | None = None) -> None:
         spark = get_spark(
             f"dedup-jvm-{jvm_workers}",
             cores=jvm_workers,
+            shuffle_partitions=gran_shuffle,
             master=f"local-cluster[{jvm_workers},1,9216]",
             extra_conf={
+                **gran_conf,
                 "spark.executor.memory": "8g",
+                # stage-metric attribution reads the UI REST endpoint
+                "spark.ui.enabled": (
+                    "true" if os.environ.get("DEDUP_STAGE_METRICS") else "false"
+                ),
                 "spark.executor.extraJavaOptions": os.environ["SPARK_JAVA_OPTS"],
                 # tasks run in the executor JVMs here — the driver only
                 # schedules, so it doesn't need the 48g the thread-mode
@@ -138,7 +163,12 @@ def run_worker(cores: int, rows: int, jvm_workers: int | None = None) -> None:
             },
         )
     else:
-        spark = get_spark(f"dedup-scale-{cores}", cores=cores)
+        spark = get_spark(
+            f"dedup-scale-{cores}",
+            cores=cores,
+            shuffle_partitions=gran_shuffle,
+            extra_conf=gran_conf or None,
+        )
     docs = spark.read.parquet(_path(rows))
     n_docs = docs.count()
 
@@ -194,6 +224,12 @@ def run_worker(cores: int, rows: int, jvm_workers: int | None = None) -> None:
         for c in (sigs, pairs):
             c.unpersist()
 
+    # optional per-stage attribution (UI REST): utilization = summed
+    # task run time / (wall x slots) — separates "cores idle (tail /
+    # scheduling)" from "cores busy but slower (contention)"
+    if os.environ.get("DEDUP_STAGE_METRICS"):
+        _dump_stage_metrics(spark, cores)
+
     print(json.dumps({
         "cores": cores,
         "rows": n_docs,
@@ -205,6 +241,58 @@ def run_worker(cores: int, rows: int, jvm_workers: int | None = None) -> None:
         "kept_hash": str(agg["h"]),
         "stages": stages_best,
     }))
+
+
+def _dump_stage_metrics(spark, slots: int) -> None:
+    """Per-stage run/CPU/GC attribution via the UI REST API (stderr).
+
+    For each completed stage: wall (submission->completion), number of
+    tasks, summed executorRunTime, executorCpuTime, jvmGcTime,
+    shuffle-fetch wait, and utilization = runTime / (wall * slots).
+    Low utilization => idle slots (task-granularity tail, scheduling
+    delay); high utilization with runTime >> cpuTime => threads blocked
+    (I/O, python exchange); cpuTime inflation across parallelism levels
+    => per-cycle contention."""
+    import urllib.request
+    from datetime import datetime, timezone
+
+    def _ts(s: str) -> float:
+        return datetime.strptime(
+            s, "%Y-%m-%dT%H:%M:%S.%f%Z"
+        ).replace(tzinfo=timezone.utc).timestamp()
+
+    try:
+        ui = spark.sparkContext.uiWebUrl
+        apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+        app = apps[0]["id"]
+        stages = json.load(urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete"
+        ))
+        rows = []
+        for s in stages:
+            try:
+                wall = _ts(s["completionTime"]) - _ts(s["firstTaskLaunchedTime"])
+            except (KeyError, ValueError):
+                continue
+            if wall <= 0:
+                continue
+            run_s = s.get("executorRunTime", 0) / 1e3
+            rows.append({
+                "stage": s["stageId"],
+                "name": s.get("name", "")[:48],
+                "tasks": s.get("numCompleteTasks", 0),
+                "wall_s": round(wall, 2),
+                "run_s": round(run_s, 1),
+                "cpu_s": round(s.get("executorCpuTime", 0) / 1e9, 1),
+                "gc_s": round(s.get("jvmGcTime", 0) / 1e3, 1),
+                "fetch_wait_s": round(s.get("shuffleFetchWaitTime", 0) / 1e3, 1),
+                "util": round(run_s / (wall * slots), 2),
+            })
+        rows.sort(key=lambda r: -r["run_s"])
+        for r in rows[:20]:
+            print("#STAGE " + json.dumps(r), file=sys.stderr)
+    except Exception as e:  # diagnostics must never fail the bench
+        print(f"#STAGE metrics unavailable: {e}", file=sys.stderr)
 
 
 def _shuffle_write_bytes(spark) -> int | None:
