@@ -237,6 +237,58 @@ def q_percentile_sweep(spark, sf):
     )
 
 
+#: continuous columns fitted by q_quantile_sketch (shared with oracle)
+_QSKETCH_COLS = ["l_extendedprice", "l_quantity", "l_discount"]
+
+
+def q_quantile_sketch(spark, sf):
+    """Mergeable rank-summary robust fit over CONTINUOUS columns — no
+    bounded-domain quantization (functions/summaries.py). Capacity m
+    exceeds every partition's row count at the checked sf, so the
+    summary degenerates to the exact value-count histogram and every
+    statistic is np.quantile-parity exact — which is what lets DuckDB's
+    quantile_cont re-derive it. Above capacity the same code path is
+    rank-error-bounded (<= n/m + P), pytest-proven."""
+    from autoprepad_spark.functions import summaries as SU
+
+    li = _t(spark, sf, "lineitem")
+    fits = SU.fit_from_summary(
+        SU.quantile_summary(li, _QSKETCH_COLS, m=131072), _QSKETCH_COLS
+    )
+    rows = [
+        (c, st.vmin, st.q1, st.median, st.q3, st.vmax, st.mad, st.mean, st.std)
+        for c, st in fits.items()
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "col string, vmin double, q1 double, median double, q3 double, "
+        "vmax double, mad double, mean double, std double",
+    )
+    # round in Spark (HALF_UP, matching DuckDB's round), not Python
+    # (banker's rounding — 25.40225 -> 25.4022 vs the oracle's 25.4023)
+    return raw.select(
+        "col",
+        *[
+            F.round(c, 4).alias(c)
+            for c in ("vmin", "q1", "median", "q3", "vmax", "mad", "mean", "std")
+        ],
+    )
+
+
+def q_heavy_hitters(spark, sf):
+    """Misra-Gries heavy hitters over unbounded-cardinality keys
+    (functions/summaries.py): per-partition bounded counter tables,
+    merged, with a CERTIFIED undercount bound carried in the summary.
+    cap exceeds the distinct count at the checked sf, so dec == 0 and
+    the top-k is exact (detectable at runtime, not assumed); above cap
+    the lower/upper count bracket is pytest-proven."""
+    from autoprepad_spark.functions import summaries as SU
+
+    li = _t(spark, sf, "lineitem")
+    summ = SU.freq_summary(li, ["l_partkey", "l_suppkey"], cap=16384)
+    return SU.topk_from_summary(summ, 15)
+
+
 #: columns sketched by q_approx_distinct (shared with its oracle)
 _HLL_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
 
@@ -1268,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "approx_distinct": q_approx_distinct,
+        "quantile_sketch": q_quantile_sketch,
+        "heavy_hitters": q_heavy_hitters,
         "multimodal_features": q_multimodal_features,
         # rows-only by design (hyperplane/centroid families are
         # engine-internal; recall vs brute force is pytest-proven)
@@ -1405,9 +1459,45 @@ def oracle_sql() -> dict[str, str]:
                round(elem_sum, 4) AS elem_sum, CAST(1 AS BIGINT) AS ok
         FROM unioned ORDER BY media_id
     """
+    qsketch_branches = "\n            UNION ALL\n".join(
+        f"""
+            SELECT '{c}' AS col,
+                   round(min({c}), 4) AS vmin,
+                   round(quantile_cont({c}, 0.25), 4) AS q1,
+                   round(quantile_cont({c}, 0.5), 4) AS median,
+                   round(quantile_cont({c}, 0.75), 4) AS q3,
+                   round(max({c}), 4) AS vmax,
+                   round((SELECT quantile_cont(abs({c} - m.med), 0.5)
+                          FROM lineitem,
+                               (SELECT quantile_cont({c}, 0.5) AS med
+                                FROM lineitem) m), 4) AS mad,
+                   round(avg({c}), 4) AS mean,
+                   round(stddev_samp({c}), 4) AS std
+            FROM lineitem
+        """
+        for c in _QSKETCH_COLS
+    )
+    heavy_branches = "\n            UNION ALL\n".join(
+        f"""
+            SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS item,
+                   count(*) AS count_lo,
+                   row_number() OVER (
+                       ORDER BY count(*) DESC, CAST({c} AS VARCHAR) ASC
+                   ) AS rk
+            FROM lineitem GROUP BY 2
+        """
+        for c in ("l_partkey", "l_suppkey")
+    )
     return {
         "approx_distinct": hll_oracle_sql(hll_melt),
         "multimodal_features": multimodal,
+        "quantile_sketch": qsketch_branches,
+        "heavy_hitters": f"""
+            WITH ranked AS ({heavy_branches})
+            SELECT col, item, count_lo,
+                   CAST(0 AS BIGINT) AS max_undercount
+            FROM ranked WHERE rk <= 15
+        """,
         "profile_stats": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS n_rows,
