@@ -173,6 +173,28 @@ def q_zscore_flags(spark, sf):
     )
 
 
+def q_robust_flags(spark, sf):
+    """A1 Tukey + A2 MAD + A3 z-score flag counts in one union (board
+    consolidation r4: the driver records only the FIRST 50 queries()
+    entries). Each method keeps its own fit, flag expression, input
+    table and oracle branch — only the board row is shared. All three
+    ride the process-memoized single-pass fits (_li_stats /
+    _fit_cached), so the union costs the same two aggregations."""
+    t = q_tukey_flags(spark, sf).select(
+        F.lit("tukey").alias("method"),
+        F.col("l_returnflag").alias("grp"), "n_rows", "n_flagged",
+    )
+    m = q_mad_flags(spark, sf).select(
+        F.lit("mad").alias("method"),
+        F.col("l_returnflag").alias("grp"), "n_rows", "n_flagged",
+    )
+    z = q_zscore_flags(spark, sf).select(
+        F.lit("zscore").alias("method"),
+        F.col("o_orderpriority").alias("grp"), "n_rows", "n_flagged",
+    )
+    return t.unionByName(m).unionByName(z)
+
+
 def q_flag_totals(spark, sf):
     li = _t(spark, sf, "lineitem")
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
@@ -287,6 +309,38 @@ def q_heavy_hitters(spark, sf):
     li = _t(spark, sf, "lineitem")
     summ = SU.freq_summary(li, ["l_partkey", "l_suppkey"], cap=16384)
     return SU.topk_from_summary(summ, 15)
+
+
+def q_mergeable_summaries(spark, sf):
+    """The r4 mergeable-summary family (functions/summaries.py) on one
+    board row, long form (summary, col, name, value) — board
+    consolidation r4: the driver records only the FIRST 50 queries()
+    entries. summary='quantile' unpivots the rank-summary fit (8 stats
+    x 3 lineitem columns); summary='topk' is the Misra-Gries top-15 per
+    key column with its certified undercount as
+    summary='topk_undercount' rows (0 here = provably exact). Both
+    halves keep their full-width plans and oracles."""
+    stats = ["vmin", "q1", "median", "q3", "vmax", "mad", "mean", "std"]
+    expr = ", ".join(f"'{s}', {s}" for s in stats)
+    qlong = q_quantile_sketch(spark, sf).selectExpr(
+        "'quantile' as summary", "col",
+        f"stack({len(stats)}, {expr}) as (name, value)",
+    )
+    tk = q_heavy_hitters(spark, sf)
+    hlong = tk.select(
+        F.lit("topk").alias("summary"), "col",
+        F.col("item").cast("string").alias("name"),
+        F.col("count_lo").cast("double").alias("value"),
+    )
+    ulong = (
+        tk.groupBy("col")
+        .agg(F.max("max_undercount").cast("double").alias("value"))
+        .select(
+            F.lit("topk_undercount").alias("summary"), "col",
+            F.lit("").alias("name"), "value",
+        )
+    )
+    return qlong.unionByName(hlong).unionByName(ulong)
 
 
 #: columns sketched by q_approx_distinct (shared with its oracle)
@@ -598,6 +652,102 @@ def q_simhash_dedup(spark, sf):
     )
     out = DD.verify_pairs_jaccard(docs, cands, threshold=0.9)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_pairwise_dedup(spark, sf):
+    """Board consolidation (r4): the driver records only the FIRST 50
+    queries() entries, so the two non-LSH pair-dedup families share one
+    entry — family='ngram' is exact inverted-index Jaccard with the
+    doc-freq skew guard, family='simhash' is SimHash banding + exact
+    verification. Same truth table (all J >= 0.9 pairs); per-family
+    evidence preserved by the family column. minhash_dedup (the LSH
+    flagship) keeps its own board row."""
+    a = q_ngram_jaccard(spark, sf).select(F.lit("ngram").alias("family"), "*")
+    b = q_simhash_dedup(spark, sf).select(F.lit("simhash").alias("family"), "*")
+    return a.unionByName(b)
+
+
+def q_token_decontam(spark, sf):
+    """TOKEN-domain benchmark decontamination (operators/token_ops.py,
+    new r4): the north-rule payload is pre-tokenized sequences, so the
+    GPT-3/Llama n-gram overlap check runs directly over token ids — no
+    decode-to-text pass. Benchmark items are 32-token slices (positions
+    6-37) of every 500th sequence of the SAME persisted token table the
+    suite validates, so each source sequence must report overlap 1.0;
+    the corpus side is a deterministic 1-in-25 id slice that contains
+    every bench source. The oracle re-derives bench slices, 8-gram sets
+    (list_slice + generate_series), hits, and the flag in SQL from the
+    same parquet. Plan: bench gram set broadcast, corpus never shuffled
+    (see token_contamination_report)."""
+    from autoprepad_spark.operators.token_ops import token_contamination_report
+
+    corpus = (
+        spark.read.parquet(_tokens_input(spark))
+        .filter(F.col("doc_id").isNotNull() & (_doc_num() % 25 == 3))
+        .select("doc_id", "tokens")
+    )
+    bench = (
+        corpus.filter((_doc_num() % 500 == 3) & (F.size("tokens") >= 40))
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.slice("tokens", 6, 32).alias("tokens"),
+        )
+    )
+    rep = token_contamination_report(corpus, bench, n=8, min_overlap=0.5)
+    return rep.select(
+        "doc_id",
+        "bench_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("bench_n_shingles").cast("long").alias("bench_n"),
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+        "contaminated",
+    )
+
+
+def q_token_minhash_dedup(spark, sf):
+    """TOKEN-domain near-dup dedup (operators/token_ops.py, new r4):
+    MinHash LSH over token 5-gram sets, exact-Jaccard verified. Twins
+    are constructed deterministically — every sequence with numeric id
+    ≡ 11 (mod 250) and >= 100 tokens gets a '-v2' copy with ONE token
+    substituted, so true J = (G-5)/(G+5) >= 0.901 with G = len-4
+    distinct grams — inside a 1-in-50 id-slice universe. Oracle = ALL
+    pairs with exact token-gram J >= 0.9 recomputed from the parquet in
+    SQL, so a green row proves LSH recall 1.0 at this scale (16 bands x
+    2 rows: per-pair miss odds ~(1-0.9^2)^16 ~ 3e-12)."""
+    from autoprepad_spark.operators import token_ops as TO
+
+    base = (
+        spark.read.parquet(_tokens_input(spark))
+        .filter(F.col("doc_id").isNotNull() & (_doc_num() % 50 == 11))
+        .select("doc_id", "tokens")
+    )
+    t = F.col("tokens")
+    mut = F.concat(
+        F.slice(t, 1, 49),
+        F.array(F.lit(50256) - F.element_at(t, 50)),
+        F.slice(t, 51, F.size(t) - 50),
+    )
+    twins = base.filter(
+        (_doc_num() % 250 == 11) & (F.size("tokens") >= 100)
+    ).select(
+        F.concat("doc_id", F.lit("-v2")).alias("doc_id"), mut.alias("tokens")
+    )
+    docs = base.unionByName(twins)
+    # materialization owned here (operators build plans only): the gram
+    # index feeds the signature agg AND both verify joins
+    grams = TO.token_gram_index(docs, n=5).cache()
+    grams.count()
+    pairs = TO.token_minhash_pairs(
+        docs, n=5, num_hashes=32, bands=16, threshold=0.9,
+        max_bucket_size=None,  # recall-1.0 proof needs every candidate
+        grams=grams, broadcast_pairs=True, prune_index=False,
+    )
+    out = pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).cache()
+    out.count()
+    grams.unpersist()
+    return out
 
 
 def q_text_profile(spark, sf):
@@ -1033,6 +1183,28 @@ def q_corpus_pipeline(spark, sf):
     )
 
 
+def _tokens_input(spark: SparkSession) -> str:
+    """The shared persisted token table (50k rows, seed 42): fixture for
+    every token-domain oracle query. Materialized once per process —
+    the generator is deterministic, so rewrites are pure waste — and
+    read back from parquet so DuckDB sees the SAME rows."""
+    from autoprepad_spark.datagen import generate_tokens
+
+    path = f"{SCRATCH}/validate_tokens_input"
+    if path not in _MATERIALIZED:
+        generate_tokens(spark, 50_000, seed=42, n_parts=8).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _MATERIALIZED.add(path)
+    return path
+
+
+#: numeric id of a generated doc_id ("doc-%012d") — shared by the
+#: token-domain queries and, as CAST(doc_id[5:] AS BIGINT), their oracles
+def _doc_num() -> F.Column:
+    return F.substring("doc_id", 5, 12).cast("long")
+
+
 def q_validate_tokens(spark, sf):
     """North-rule engine end-to-end, ORACLE-CHECKED: the generated token
     table is persisted to parquet so DuckDB re-derives the entire verdict
@@ -1049,15 +1221,9 @@ def q_validate_tokens(spark, sf):
     reported time is suite-on-parquet (comparable to r2's ~12s number,
     which never wrote)."""
     from autoprepad_spark import ValidationSuite
-    from autoprepad_spark.datagen import generate_tokens, source_dim
+    from autoprepad_spark.datagen import source_dim
 
-    path = f"{SCRATCH}/validate_tokens_input"
-    if path not in _MATERIALIZED:
-        generate_tokens(spark, 50_000, seed=42, n_parts=8).write.mode(
-            "overwrite"
-        ).parquet(path)
-        _MATERIALIZED.add(path)
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(_tokens_input(spark))
     res = ValidationSuite().run(df, dim=source_dim(spark))
     out = res.verdicts.orderBy("part", "check_name").cache()
     out.count()
@@ -1268,15 +1434,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   null_rates + null_fingerprint   -> null_profile (F1+F2)
     #   ordinal_encode + binary_encode  -> encoders (E1+E2)
     #   embedding_lsh_topk + embedding_ivf_topk -> embedding_ann_topk
+    # r4 consolidations (freeing rows for the token-domain additions):
+    #   tukey_flags + mad_flags + zscore_flags -> robust_flags
+    #   ngram_jaccard + simhash_dedup          -> pairwise_dedup
+    #   quantile_sketch + heavy_hitters        -> mergeable_summaries
     # r03 additions: dup_clusters (connected components), oracle-exact
     # approx_distinct (portable HLL) and multimodal_features (analytic
-    # decode oracle).
+    # decode oracle). r04 additions: token_decontam +
+    # token_minhash_dedup (the token-domain dedup/decontamination
+    # family) and mergeable_summaries.
     return {
         "validate_tokens": q_validate_tokens,
         "corpus_pipeline": q_corpus_pipeline,
+        "token_decontam": q_token_decontam,
+        "token_minhash_dedup": q_token_minhash_dedup,
         "dedup_exact": q_dedup_exact,
         "minhash_dedup": q_minhash_dedup,
         "dup_clusters": q_dup_clusters,
+        "pairwise_dedup": q_pairwise_dedup,
         "hash_split": q_hash_split,
         "stream_drift": q_stream_drift,
         "stream_running_totals": q_stream_running_totals,
@@ -1285,9 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_impute": q_regression_impute,
         "profile_stats": q_profile_stats,
         "null_profile": q_null_profile,
-        "tukey_flags": q_tukey_flags,
-        "mad_flags": q_mad_flags,
-        "zscore_flags": q_zscore_flags,
+        "robust_flags": q_robust_flags,
         "flag_totals": q_flag_totals,
         "robust_scale": q_robust_scale,
         "impute_median": q_impute_median,
@@ -1302,8 +1475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "encoders": q_encoders,
         "charclass_pattern": q_charclass_pattern,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash_dedup": q_simhash_dedup,
         "text_profile": q_text_profile,
         "drift_psi": q_drift_psi,
         "stream_profile": q_stream_profile,
@@ -1320,8 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
         "approx_distinct": q_approx_distinct,
-        "quantile_sketch": q_quantile_sketch,
-        "heavy_hitters": q_heavy_hitters,
+        "mergeable_summaries": q_mergeable_summaries,
         "multimodal_features": q_multimodal_features,
         # rows-only by design (hyperplane/centroid families are
         # engine-internal; recall vs brute force is pytest-proven)
@@ -1477,6 +1647,15 @@ def oracle_sql() -> dict[str, str]:
         """
         for c in _QSKETCH_COLS
     )
+    # long form of the same branches for the consolidated board row:
+    # (summary='quantile', col, name, value)
+    qsketch_long = f"""
+            SELECT 'quantile' AS summary, col, name, value FROM (
+              UNPIVOT ({qsketch_branches})
+              ON vmin, q1, median, q3, vmax, mad, mean, std
+              INTO NAME name VALUE value
+            )
+    """
     heavy_branches = "\n            UNION ALL\n".join(
         f"""
             SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS item,
@@ -1491,12 +1670,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "approx_distinct": hll_oracle_sql(hll_melt),
         "multimodal_features": multimodal,
-        "quantile_sketch": qsketch_branches,
-        "heavy_hitters": f"""
+        "mergeable_summaries": f"""
             WITH ranked AS ({heavy_branches})
-            SELECT col, item, count_lo,
-                   CAST(0 AS BIGINT) AS max_undercount
+            SELECT * FROM ({qsketch_long})
+            UNION ALL
+            SELECT 'topk' AS summary, col, item AS name,
+                   CAST(count_lo AS DOUBLE) AS value
             FROM ranked WHERE rk <= 15
+            UNION ALL
+            SELECT 'topk_undercount', col, '', 0.0
+            FROM (SELECT DISTINCT col FROM ranked)
         """,
         "profile_stats": """
             SELECT l_returnflag, l_linestatus,
@@ -1534,28 +1717,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'fingerprint', CAST(fingerprint AS VARCHAR), n::BIGINT, t,
                    round(n / t, 6) FROM fp, tot
         """,
-        "tukey_flags": """
+        "robust_flags": """
             WITH s AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
-                              quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
-            SELECT l_returnflag, count(*) AS n_rows,
+                              quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem),
+                 m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem),
+                 d AS (SELECT quantile_cont(abs(l_extendedprice - med), 0.5) AS mad FROM lineitem, m),
+                 z AS (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd FROM orders)
+            SELECT 'tukey' AS method, l_returnflag AS grp, count(*) AS n_rows,
                    sum(CASE WHEN l_extendedprice < q1 - 1.5*(q3-q1)
                              OR l_extendedprice > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END)::BIGINT AS n_flagged
-            FROM lineitem, s GROUP BY 1
-        """,
-        "mad_flags": """
-            WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem),
-                 d AS (SELECT quantile_cont(abs(l_extendedprice - med), 0.5) AS mad FROM lineitem, m)
-            SELECT l_returnflag, count(*) AS n_rows,
+            FROM lineitem, s GROUP BY 2
+            UNION ALL
+            SELECT 'mad', l_returnflag, count(*),
                    sum(CASE WHEN mad > 0 AND abs(0.6745*(l_extendedprice - med)/mad) > 3.5
-                            THEN 1 ELSE 0 END)::BIGINT AS n_flagged
-            FROM lineitem, m, d GROUP BY 1
-        """,
-        "zscore_flags": """
-            WITH s AS (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sd FROM orders)
-            SELECT o_orderpriority, count(*) AS n_rows,
+                            THEN 1 ELSE 0 END)::BIGINT
+            FROM lineitem, m, d GROUP BY 2
+            UNION ALL
+            SELECT 'zscore', o_orderpriority, count(*),
                    sum(CASE WHEN sd > 0 AND abs((o_totalprice - mu)/sd) > 3
-                            THEN 1 ELSE 0 END)::BIGINT AS n_flagged
-            FROM orders, s GROUP BY 1
+                            THEN 1 ELSE 0 END)::BIGINT
+            FROM orders, z GROUP BY 2
         """,
         "flag_totals": """
             WITH q AS (SELECT quantile_cont(l_quantity, 0.25) AS q1, quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem),
@@ -1690,7 +1871,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(doc_id))[1:3], ',') AS exemplars
             FROM d GROUP BY 1 HAVING count(*) > 1
         """,
-        "ngram_jaccard": f"""
+        "pairwise_dedup": f"""
             WITH d AS ({_DOCS2}),
             words AS (SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w FROM d),
             sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
@@ -1698,13 +1879,22 @@ def oracle_sql() -> dict[str, str]:
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
             freq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
             sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq USING (s) WHERE df <= 100),
-            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-                      FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2)
-            SELECT id_a, id_b,
+            inter_ng AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                         FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+                         GROUP BY 1, 2),
+            inter_all AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                          GROUP BY 1, 2)
+            SELECT 'ngram' AS family, id_a, id_b,
                    round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
-            FROM inter JOIN sizes sa ON sa.doc_id = id_a
-                       JOIN sizes sb ON sb.doc_id = id_b
+            FROM inter_ng JOIN sizes sa ON sa.doc_id = id_a
+                          JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+            UNION ALL
+            SELECT 'simhash', id_a, id_b,
+                   round(inter / (sa.n_sh + sb.n_sh - inter), 6)
+            FROM inter_all JOIN sizes sa ON sa.doc_id = id_a
+                           JOIN sizes sb ON sb.doc_id = id_b
             WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
         """,
         "minhash_dedup": f"""
@@ -1748,21 +1938,6 @@ def oracle_sql() -> dict[str, str]:
                     FROM reach GROUP BY a)
             SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n_docs
             FROM lbl GROUP BY cluster
-        """,
-        "simhash_dedup": f"""
-            WITH d AS ({_DOCS2}),
-            words AS (SELECT doc_id, string_split({_NORM.format(c='text')}, ' ') AS w FROM d),
-            sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
-                   FROM words, unnest(generate_series(1, greatest(len(w) - 2, 1))) t(i)),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2)
-            SELECT id_a, id_b,
-                   round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
-            FROM inter JOIN sizes sa ON sa.doc_id = id_a
-                       JOIN sizes sb ON sb.doc_id = id_b
-            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
         """,
         "text_profile": f"""
             WITH base AS (
@@ -2110,6 +2285,66 @@ def oracle_sql() -> dict[str, str]:
         # stats, all row checks, referential, cross-partition uniqueness,
         # and the hard/statistical pass-fail rules — from the parquet the
         # Spark query persisted (same rows, deterministic generator).
+        "token_decontam": f"""
+            WITH corpus AS (
+              SELECT doc_id, tokens
+              FROM read_parquet('{SCRATCH}/validate_tokens_input/*.parquet')
+              WHERE doc_id IS NOT NULL AND CAST(doc_id[5:] AS BIGINT) % 25 = 3
+            ),
+            bench AS (
+              SELECT doc_id AS bench_id, tokens[6:37] AS btoks
+              FROM corpus
+              WHERE CAST(doc_id[5:] AS BIGINT) % 500 = 3 AND len(tokens) >= 40
+            ),
+            bgrams AS (
+              SELECT DISTINCT bench_id, array_to_string(btoks[i:i+7], ',') AS g
+              FROM bench, unnest(generate_series(1, len(btoks) - 7)) t(i)
+            ),
+            bsize AS (SELECT bench_id, count(*) AS bench_n FROM bgrams GROUP BY 1),
+            dgrams AS (
+              SELECT DISTINCT doc_id, array_to_string(tokens[i:i+7], ',') AS g
+              FROM corpus, unnest(generate_series(1, len(tokens) - 7)) t(i)
+            ),
+            hits AS (
+              SELECT dg.doc_id, bg.bench_id, count(*) AS n_hits
+              FROM dgrams dg JOIN bgrams bg USING (g)
+              GROUP BY 1, 2
+            )
+            SELECT h.doc_id, h.bench_id, h.n_hits::BIGINT AS n_hits,
+                   s.bench_n::BIGINT AS bench_n,
+                   round(h.n_hits * 1.0 / s.bench_n, 6) AS overlap_frac,
+                   h.n_hits * 1.0 / s.bench_n >= 0.5 AS contaminated
+            FROM hits h JOIN bsize s USING (bench_id)
+        """,
+        "token_minhash_dedup": f"""
+            WITH raw AS (
+              SELECT doc_id, tokens
+              FROM read_parquet('{SCRATCH}/validate_tokens_input/*.parquet')
+              WHERE doc_id IS NOT NULL AND CAST(doc_id[5:] AS BIGINT) % 50 = 11
+            ),
+            twins AS (
+              SELECT doc_id || '-v2' AS doc_id,
+                     tokens[1:49] || [50256 - tokens[50]] || tokens[51:len(tokens)] AS tokens
+              FROM raw
+              WHERE CAST(doc_id[5:] AS BIGINT) % 250 = 11 AND len(tokens) >= 100
+            ),
+            docs AS (SELECT * FROM raw UNION ALL SELECT * FROM twins),
+            grams AS (
+              SELECT DISTINCT doc_id, array_to_string(tokens[i:i+4], ',') AS g
+              FROM docs, unnest(generate_series(1, greatest(len(tokens) - 4, 1))) t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+            FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                       JOIN sizes sb ON sb.doc_id = id_b
+            WHERE inter / (sa.n_sh + sb.n_sh - inter) >= 0.9
+        """,
         "validate_tokens": f"""
             WITH tok AS (
               SELECT * FROM read_parquet('{SCRATCH}/validate_tokens_input/*.parquet')

@@ -43,14 +43,20 @@ def benchmark_probes(
     text_col: str = "text",
     id_col: str = "bench_id",
     k: int = 8,
+    shingle_col: F.Column | None = None,
 ) -> DataFrame:
     """(bench_id, probe) — the DISTINCT 64-bit-hashed word-k-shingle set
     of each benchmark item. This is the broadcast side; materialize it
-    once (e.g. ``.cache()``) when probing several corpus shards."""
+    once (e.g. ``.cache()``) when probing several corpus shards.
+
+    ``shingle_col`` overrides the word-shingle expression with any
+    array<long> hashed-gram column — how ``token_ops`` reuses this exact
+    plan for pre-tokenized sequences (grams over token ids, no text)."""
+    sh = shingle_col if shingle_col is not None else word_shingle_hashes(text_col, k)
     return (
         bench.select(
             F.col(id_col).alias("bench_id"),
-            F.explode(word_shingle_hashes(text_col, k)).alias("probe"),
+            F.explode(sh).alias("probe"),
         )
         .distinct()
     )
@@ -67,6 +73,8 @@ def contamination_report(
     k: int = 8,
     min_overlap: float = DEFAULT_MIN_OVERLAP,
     broadcast_bench: bool = True,
+    doc_shingle_col: F.Column | None = None,
+    bench_shingle_col: F.Column | None = None,
 ) -> DataFrame:
     """Per (document, benchmark item) n-gram-overlap report.
 
@@ -80,9 +88,15 @@ def contamination_report(
     corpus shuffle) and requires the hashed benchmark shingle set to fit
     executor memory — true for any real eval suite. Set it False only
     for a pathological benchmark side, and AQE chooses the strategy.
+
+    ``doc_shingle_col`` / ``bench_shingle_col`` override the gram
+    expression per side (any array<long> hashed-gram column) — the hook
+    ``token_ops.token_contamination_report`` uses to run this SAME plan
+    over token-id n-grams instead of word shingles.
     """
     probes = benchmark_probes(
-        bench, text_col=bench_text_col, id_col=bench_id_col, k=k
+        bench, text_col=bench_text_col, id_col=bench_id_col, k=k,
+        shingle_col=bench_shingle_col,
     )
     bench_sizes = probes.groupBy("bench_id").agg(
         F.count(F.lit(1)).alias("bench_n_shingles")
@@ -92,7 +106,11 @@ def contamination_report(
 
     doc_sh = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingle_hashes(text_col, k)).alias("probe"),
+        F.explode(
+            doc_shingle_col
+            if doc_shingle_col is not None
+            else word_shingle_hashes(text_col, k)
+        ).alias("probe"),
     )
 
     hits = (

@@ -37,7 +37,10 @@ sys.path.insert(0, REPO)
 HEADLINE = [
     "validate_tokens",
     "profile_stats",
-    "tukey_flags",
+    # r4 board consolidation: robust_flags = the former tukey_flags +
+    # mad_flags + zscore_flags in one union (compare its time to their
+    # sum in earlier rounds)
+    "robust_flags",
     "flag_totals",
     "uniqueness",
     "dim_check",
@@ -45,6 +48,10 @@ HEADLINE = [
     "ffill",
     "dedup_exact",
     "minhash_dedup",
+    # r4: the token-domain dedup/decontamination family (north-rule
+    # payload is pre-tokenized sequences)
+    "token_minhash_dedup",
+    "token_decontam",
     "text_profile",
     "drift_psi",
     "embedding_topk",

@@ -32,9 +32,7 @@ _PLAN_CHECKED = [
     "regression_impute",
     "profile_stats",
     "null_profile",
-    "tukey_flags",
-    "mad_flags",
-    "zscore_flags",
+    "robust_flags",
     "flag_totals",
     "robust_scale",
     "impute_median",
@@ -49,8 +47,7 @@ _PLAN_CHECKED = [
     "spearman",
     "encoders",
     "charclass_pattern",
-    "ngram_jaccard",
-    "simhash_dedup",
+    "pairwise_dedup",
     "text_profile",
     "drift_psi",
     "embedding_topk",
@@ -66,6 +63,9 @@ _PLAN_CHECKED = [
     "top_terms",
     "stratified_sample",
     "approx_distinct",
+    "mergeable_summaries",
+    "token_decontam",
+    "token_minhash_dedup",
     "multimodal_features",
     "embedding_ann_topk",
 ]
@@ -98,7 +98,7 @@ def test_scan_is_column_pruned(spark):
     (a 16-column lineitem read for a 1-column histogram is wrong)."""
     import __spark_entry__ as E
 
-    df = E.queries()["tukey_flags"](spark, SF)
+    df = E.queries()["robust_flags"](spark, SF)
     plan = _plan_of(df)
     scans = [
         seg for seg in plan.split("\n\n") if "Scan parquet" in seg and "lineitem" in seg
