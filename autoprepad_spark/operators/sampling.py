@@ -97,11 +97,22 @@ def mix_rates(
     other group is downsampled to match. Groups absent from ``targets``
     get no rate (callers drop them via stratified_sample's default=0).
     """
-    avail = {
+    avail = _group_mass(df, weight_col, group_col)
+    return _rates_from_avail(avail, targets)
+
+
+def _group_mass(df: DataFrame, weight_col: str, group_col: str) -> dict[str, float]:
+    """Available weight per group — ONE |groups|-row aggregation."""
+    return {
         r[group_col]: float(r["_w"])
         for r in df.groupBy(group_col).agg(F.sum(weight_col).alias("_w")).collect()
         if r["_w"] is not None and r["_w"] > 0
     }
+
+
+def _rates_from_avail(
+    avail: dict[str, float], targets: dict[str, float]
+) -> dict[str, float]:
     t = {g: v for g, v in targets.items() if g in avail and v > 0}
     z = sum(t.values())
     if not t or z <= 0:
@@ -112,6 +123,35 @@ def mix_rates(
     t = {g: v / z for g, v in t.items()}
     scale = min(avail[g] / t[g] for g in t)  # binding group -> rate 1.0
     return {g: (scale * t[g]) / avail[g] for g in t}
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    alpha: float,
+    *,
+    weight_col: str = "n_tok",
+    group_col: str = "source",
+) -> dict[str, float]:
+    """Per-group rates realizing a TEMPERATURE-flattened mixture:
+    target share of group g is mass_g^alpha / sum_h mass_h^alpha — the
+    standard multilingual/multi-source sampling temperature (mBERT /
+    XLM-R style, alpha typically 0.3-0.7; alpha=1 keeps the natural
+    mix, alpha=0 is uniform over groups, alpha<1 boosts low-resource
+    groups relative to their mass).
+
+    Realized WITHOUT replication: temperature flattening means rich
+    groups are downsampled toward the flattened shares while the
+    binding group — for alpha<1 always a smallest-mass group, since
+    avail/target grows with mass^(1-alpha) — keeps rate 1.0 and loses
+    nothing. Costs the same single |groups|-row aggregation as
+    mix_rates; feed the result to stratified_sample (or use
+    mix_by_tokens with these rates' targets) for the pushed-down
+    deterministic membership filter."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    avail = _group_mass(df, weight_col, group_col)
+    targets = {g: m**alpha for g, m in avail.items()}
+    return _rates_from_avail(avail, targets)
 
 
 def mix_by_tokens(

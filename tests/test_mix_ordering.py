@@ -10,7 +10,60 @@ from autoprepad_spark.operators.ordering import (
     assign_shards,
     training_order,
 )
-from autoprepad_spark.operators.sampling import mix_by_tokens, mix_rates
+from autoprepad_spark.operators.sampling import (
+    mix_by_tokens,
+    mix_rates,
+    temperature_mix_rates,
+)
+
+
+def test_temperature_mix_rates_hand_example(spark):
+    # masses A=1000, B=4000. alpha=0.5 -> targets ~ (31.6, 63.2), i.e.
+    # shares (1/3, 2/3). avail/target: A -> 3000, B -> 6000 => A binds
+    # (rate 1.0), B keeps 3000 * (2/3) / 4000 = 0.5.
+    df = spark.createDataFrame(
+        [("a1", "A", 1000), ("b1", "B", 2500), ("b2", "B", 1500)],
+        ["doc_id", "source", "n_tok"],
+    )
+    rates = temperature_mix_rates(df, 0.5)
+    assert rates["A"] == pytest.approx(1.0)
+    assert rates["B"] == pytest.approx(0.5)
+
+    # alpha=1 keeps the natural mix: every group at rate 1.0
+    nat = temperature_mix_rates(df, 1.0)
+    assert nat["A"] == pytest.approx(1.0) and nat["B"] == pytest.approx(1.0)
+
+    # alpha=0 -> uniform target: B (rich) downsampled to A's mass
+    uni = temperature_mix_rates(df, 0.0)
+    assert uni["A"] == pytest.approx(1.0)
+    assert uni["B"] == pytest.approx(0.25)
+
+    with pytest.raises(ValueError):
+        temperature_mix_rates(df, -0.1)
+
+
+def test_temperature_mix_realized_shares(tokens_df):
+    # realized token shares approach mass^alpha / sum(mass^alpha)
+    alpha = 0.5
+    rates = temperature_mix_rates(tokens_df, alpha)
+    from autoprepad_spark.operators.sampling import stratified_sample
+
+    mixed = stratified_sample(
+        tokens_df, rates, group_col="source", key_col="doc_id", default=0.0,
+        salt="tmix",
+    )
+    mass = {
+        r["source"]: r["w"]
+        for r in tokens_df.groupBy("source").agg(F.sum("n_tok").alias("w")).collect()
+    }
+    want_z = sum(m**alpha for m in mass.values())
+    got = {
+        r["source"]: r["w"]
+        for r in mixed.groupBy("source").agg(F.sum("n_tok").alias("w")).collect()
+    }
+    total = sum(got.values())
+    for g, m in mass.items():
+        assert got[g] / total == pytest.approx(m**alpha / want_z, rel=0.15)
 
 
 def test_mix_rates_hand_example(spark):
