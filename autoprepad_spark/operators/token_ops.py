@@ -176,6 +176,76 @@ def token_contamination_report(
     )
 
 
+def token_repetition_profile(
+    df: DataFrame,
+    *,
+    tokens_col: str = "tokens",
+    ns: tuple[int, ...] = (2, 4, 8),
+) -> DataFrame:
+    """Row-local repetition/degeneracy signals over token sequences —
+    the token-domain analog of ``text.repetition_profile`` (Gopher-style
+    dup-n-gram fractions) plus a max-identical-token run length. All
+    pure codegen/higher-order Column expressions: zero shuffle, zero
+    UDF, one scan.
+
+    Appended columns:
+      * ``dup_{n}gram_frac`` for each n in ``ns`` — fraction of n-gram
+        POSITIONS whose gram also occurs at another position
+        (1 - distinct/total over the position bag); 0.0 for sequences
+        shorter than n+1. High values flag degenerate loops — the
+        classic failure shape of a broken tokenizer or a runaway
+        generator.
+      * ``max_token_run`` — length of the longest run of one repeated
+        token id (0 for empty sequences). Catches pad-token flooding
+        and single-token collapse that n-gram fractions can miss on
+        short sequences.
+
+    The run length folds once over the array with an (prev, cur_run,
+    max_run) accumulator via ``F.aggregate`` — O(len) per row, no
+    per-element allocation beyond the struct."""
+    c = F.col(tokens_col)
+    out = df
+    for n in ns:
+        grams = token_gram_hashes(tokens_col, n, distinct=False)
+
+        def frac(g: F.Column) -> F.Column:
+            total = F.size(g)
+            return F.when(
+                total > 1,
+                F.lit(1.0) - F.size(F.array_distinct(g)) / total.cast("double"),
+            ).otherwise(F.lit(0.0))
+
+        # bind the gram array once (no-CSE rule, see token_gram_hashes)
+        out = out.withColumn(
+            f"dup_{n}gram_frac",
+            F.transform(F.array(grams), frac)[0],
+        )
+    run = F.aggregate(
+        c,
+        F.struct(
+            F.lit(None).cast("int").alias("prev"),
+            F.lit(0).alias("cur"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(acc["prev"].isNotNull() & (t == acc["prev"]), acc["cur"] + 1)
+            .otherwise(F.lit(1))
+            .alias("cur"),
+            F.greatest(
+                acc["best"],
+                F.when(
+                    acc["prev"].isNotNull() & (t == acc["prev"]), acc["cur"] + 1
+                ).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return out.withColumn(
+        "max_token_run", F.coalesce(run, F.lit(0))
+    )
+
+
 def token_minhash_pairs(
     df: DataFrame,
     *,

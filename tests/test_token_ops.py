@@ -213,3 +213,46 @@ def test_gram_index_feeds_verify(spark):
     got = sorted((r["_id"], r["_h"]) for r in idx.collect())
     assert len(got) == 2  # one distinct gram each
     assert got[0][1] == got[1][1]  # same gram value across docs
+
+
+def _py_rep(toks: list[int], n: int) -> float:
+    if len(toks) < n + 1:
+        return 0.0
+    grams = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    return 1.0 - len(set(grams)) / len(grams)
+
+
+def _py_run(toks: list[int]) -> int:
+    best = cur = 0
+    prev = None
+    for t in toks:
+        cur = cur + 1 if t == prev else 1
+        best = max(best, cur)
+        prev = t
+    return best
+
+
+def test_token_repetition_profile_matches_python(spark):
+    from autoprepad_spark.operators.token_ops import token_repetition_profile
+
+    rows = [
+        ("degenerate", [7] * 40),                       # all one token
+        ("loop", [1, 2, 3] * 10),                       # repeating trigram
+        ("clean", list(range(50))),                     # no repetition
+        ("padded", list(range(10)) + [0] * 15),         # pad flooding
+        ("short", [5, 5]),                              # < n+1 for n>=2
+        ("empty", []),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {
+        r["doc_id"]: r
+        for r in token_repetition_profile(df, ns=(2, 4)).collect()
+    }
+    for doc_id, toks in rows:
+        r = got[doc_id]
+        assert r["dup_2gram_frac"] == pytest.approx(_py_rep(toks, 2)), doc_id
+        assert r["dup_4gram_frac"] == pytest.approx(_py_rep(toks, 4)), doc_id
+        assert r["max_token_run"] == _py_run(toks), doc_id
+    assert got["degenerate"]["dup_2gram_frac"] > 0.95
+    assert got["clean"]["dup_2gram_frac"] == 0.0
+    assert got["padded"]["max_token_run"] == 15
