@@ -750,6 +750,56 @@ def q_token_minhash_dedup(spark, sf):
     return out
 
 
+def q_token_repetition(spark, sf):
+    """Token-domain repetition/degeneracy profile (operators/token_ops
+    token_repetition_profile, new r4): per-sequence duplicate-n-gram
+    position fractions (the Gopher dup-gram signals, computed over
+    xxhash64 gram hashes — collision class ~2^-64, same as every hash
+    dedup here) plus the longest identical-token run from one
+    F.aggregate fold. Zero shuffle, zero UDF, one scan. Degenerate
+    shapes are engineered deterministically so the signals are
+    non-trivially exercised: every id ≡ 9 (mod 500) sequence gets a
+    LOOP twin (its 16-token prefix repeated 6x — the runaway-generation
+    shape) and every id ≡ 209 (mod 500) a PAD twin (40-token prefix +
+    25 copies of its first token — pad flooding). The oracle recomputes
+    the gram position bags (list_slice over generate_series), distinct
+    counts, and the max run via gaps-and-islands in SQL from the same
+    parquet — exact grams there vs 64-bit gram hashes here, equal
+    unless xxhash64 collides within a row (~2^-64)."""
+    from autoprepad_spark.operators.token_ops import token_repetition_profile
+
+    base = (
+        spark.read.parquet(_tokens_input(spark))
+        .filter(
+            F.col("doc_id").isNotNull()
+            & F.col("tokens").isNotNull()
+            & (_doc_num() % 100 == 9)
+            & (F.size("tokens") >= 40)
+        )
+        .select("doc_id", "tokens")
+    )
+    t = F.col("tokens")
+    loop = base.filter(_doc_num() % 500 == 9).select(
+        F.concat("doc_id", F.lit("-loop")).alias("doc_id"),
+        F.flatten(F.array_repeat(F.slice(t, 1, 16), 6)).alias("tokens"),
+    )
+    pad = base.filter(_doc_num() % 500 == 209).select(
+        F.concat("doc_id", F.lit("-pad")).alias("doc_id"),
+        F.concat(
+            F.slice(t, 1, 40), F.array_repeat(F.element_at(t, 1), 25)
+        ).alias("tokens"),
+    )
+    docs = base.unionByName(loop).unionByName(pad)
+    prof = token_repetition_profile(docs, ns=(2, 8))
+    return prof.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("seq_len"),
+        F.round("dup_2gram_frac", 6).alias("dup_2gram_frac"),
+        F.round("dup_8gram_frac", 6).alias("dup_8gram_frac"),
+        F.col("max_token_run").cast("long").alias("max_token_run"),
+    )
+
+
 def q_text_profile(spark, sf):
     """Text features over documents, plus the PII scrubbing pass: PII is
     deterministically injected (cadenced on doc_id, so counts are
@@ -1103,6 +1153,56 @@ def q_stratified_sample(spark, sf):
     )
 
 
+def q_temperature_mix(spark, sf):
+    """Temperature-flattened source mixing (operators/sampling.py
+    temperature_mix_rates, new r4): target share of source g is
+    mass_g^alpha / sum_h mass_h^alpha — the mBERT/XLM-R sampling
+    temperature, here alpha=0.5 over n_tok mass — realized WITHOUT
+    replication (for alpha<1 the binding group is a smallest-mass
+    source and keeps rate 1.0; rich sources are downsampled) through
+    the same pushed-down deterministic md5-threshold membership as
+    stratified_sample. Rates are quantized to 4 decimals BEFORE
+    thresholding: full-precision rates can differ between engines by
+    ulps (float sum order in the mass^alpha normalizer), which would
+    flip membership of ~2^-32 of keys per ulp of threshold; on the
+    quantized grid both engines land on the identical double. The
+    oracle re-derives masses, mass^alpha targets, the binding-group
+    scale, quantized rates, thresholds (floor matches Python int()
+    truncation), membership, and the realized per-source counts."""
+    from autoprepad_spark.operators.sampling import (
+        stratified_sample,
+        temperature_mix_rates,
+    )
+
+    df = (
+        spark.read.parquet(_tokens_input(spark))
+        .filter(
+            F.col("doc_id").isNotNull()
+            & F.col("source").isNotNull()
+            & F.col("n_tok").isNotNull()
+        )
+        .select("doc_id", "n_tok", "source")
+    )
+    rates = {
+        g: round(r, 4) for g, r in temperature_mix_rates(df, alpha=0.5).items()
+    }
+    kept = stratified_sample(
+        df, rates, group_col="source", key_col="doc_id",
+        default=0.0, salt="temp",
+    )
+    rate_col = F.lit(None).cast("double")
+    for g, r in sorted(rates.items()):
+        rate_col = F.when(F.col("source") == g, F.lit(r)).otherwise(rate_col)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").alias("tok_kept"),
+        )
+        .withColumn("rate", rate_col)
+    )
+
+
 def q_grouped_robust(spark, sf):
     """Per-GROUP robust fit + flagging (the grouped generalization the
     reference lacks — its fits are global): each source's documents are
@@ -1442,12 +1542,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # approx_distinct (portable HLL) and multimodal_features (analytic
     # decode oracle). r04 additions: token_decontam +
     # token_minhash_dedup (the token-domain dedup/decontamination
-    # family) and mergeable_summaries.
+    # family), token_repetition (degeneracy profile), temperature_mix
+    # (mass^alpha source flattening) and mergeable_summaries.
     return {
         "validate_tokens": q_validate_tokens,
         "corpus_pipeline": q_corpus_pipeline,
         "token_decontam": q_token_decontam,
         "token_minhash_dedup": q_token_minhash_dedup,
+        "token_repetition": q_token_repetition,
+        "temperature_mix": q_temperature_mix,
         "dedup_exact": q_dedup_exact,
         "minhash_dedup": q_minhash_dedup,
         "dup_clusters": q_dup_clusters,
@@ -2315,6 +2418,99 @@ def oracle_sql() -> dict[str, str]:
                    round(h.n_hits * 1.0 / s.bench_n, 6) AS overlap_frac,
                    h.n_hits * 1.0 / s.bench_n >= 0.5 AS contaminated
             FROM hits h JOIN bsize s USING (bench_id)
+        """,
+        "token_repetition": f"""
+            WITH raw AS (
+              SELECT doc_id, tokens
+              FROM read_parquet('{SCRATCH}/validate_tokens_input/*.parquet')
+              WHERE doc_id IS NOT NULL AND tokens IS NOT NULL
+                AND CAST(doc_id[5:] AS BIGINT) % 100 = 9 AND len(tokens) >= 40
+            ),
+            loop_t AS (
+              SELECT doc_id || '-loop' AS doc_id,
+                     tokens[1:16] || tokens[1:16] || tokens[1:16]
+                       || tokens[1:16] || tokens[1:16] || tokens[1:16] AS tokens
+              FROM raw WHERE CAST(doc_id[5:] AS BIGINT) % 500 = 9
+            ),
+            pad_t AS (
+              SELECT doc_id || '-pad' AS doc_id,
+                     tokens[1:40]
+                       || list_transform(generate_series(1, 25), x -> tokens[1])
+                       AS tokens
+              FROM raw WHERE CAST(doc_id[5:] AS BIGINT) % 500 = 209
+            ),
+            docs AS (
+              SELECT * FROM raw
+              UNION ALL SELECT * FROM loop_t
+              UNION ALL SELECT * FROM pad_t
+            ),
+            g2 AS (
+              SELECT doc_id, count(*) AS tot,
+                     count(DISTINCT array_to_string(tokens[i:i+1], ',')) AS dis
+              FROM docs, unnest(generate_series(1, len(tokens) - 1)) t(i)
+              GROUP BY 1
+            ),
+            g8 AS (
+              SELECT doc_id, count(*) AS tot,
+                     count(DISTINCT array_to_string(tokens[i:i+7], ',')) AS dis
+              FROM docs, unnest(generate_series(1, len(tokens) - 7)) t(i)
+              GROUP BY 1
+            ),
+            pos AS (
+              SELECT doc_id, tokens[i] AS tk, i
+              FROM docs, unnest(generate_series(1, len(tokens))) u(i)
+            ),
+            isl AS (
+              SELECT doc_id, tk,
+                     i - row_number() OVER (PARTITION BY doc_id, tk ORDER BY i)
+                       AS grp
+              FROM pos
+            ),
+            rl AS (
+              SELECT doc_id, count(*) AS rl FROM isl GROUP BY doc_id, tk, grp
+            ),
+            mr AS (SELECT doc_id, max(rl) AS max_run FROM rl GROUP BY 1)
+            SELECT d.doc_id, len(d.tokens)::BIGINT AS seq_len,
+                   round(CASE WHEN coalesce(g2.tot, 0) > 1
+                              THEN 1.0 - g2.dis / g2.tot::DOUBLE
+                              ELSE 0.0 END, 6) AS dup_2gram_frac,
+                   round(CASE WHEN coalesce(g8.tot, 0) > 1
+                              THEN 1.0 - g8.dis / g8.tot::DOUBLE
+                              ELSE 0.0 END, 6) AS dup_8gram_frac,
+                   coalesce(mr.max_run, 0)::BIGINT AS max_token_run
+            FROM docs d
+            LEFT JOIN g2 USING (doc_id)
+            LEFT JOIN g8 USING (doc_id)
+            LEFT JOIN mr USING (doc_id)
+        """,
+        "temperature_mix": f"""
+            WITH tok AS (
+              SELECT doc_id, n_tok, source
+              FROM read_parquet('{SCRATCH}/validate_tokens_input/*.parquet')
+              WHERE doc_id IS NOT NULL AND source IS NOT NULL
+                AND n_tok IS NOT NULL
+            ),
+            mass AS (
+              SELECT source, sum(n_tok)::DOUBLE AS avail FROM tok GROUP BY 1
+            ),
+            tgt AS (SELECT source, avail, pow(avail, 0.5) AS t FROM mass),
+            z AS (SELECT sum(t) AS z FROM tgt),
+            sc AS (SELECT min(avail / (t / z)) AS scale FROM tgt, z),
+            rates AS (
+              SELECT source, round(scale * (t / z) / avail, 4) AS rate
+              FROM tgt, z, sc
+            ),
+            kept AS (
+              SELECT k.source, k.n_tok, r.rate
+              FROM tok k JOIN rates r USING (source)
+              WHERE md5(k.doc_id || 'temp') <
+                    CASE WHEN r.rate >= 1.0 THEN 'g'
+                         ELSE printf('%08x',
+                              CAST(floor(r.rate * 4294967296) AS BIGINT)) END
+            )
+            SELECT source, count(*)::BIGINT AS n_kept,
+                   sum(n_tok)::BIGINT AS tok_kept, min(rate) AS rate
+            FROM kept GROUP BY 1
         """,
         "token_minhash_dedup": f"""
             WITH raw AS (

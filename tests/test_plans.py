@@ -66,6 +66,8 @@ _PLAN_CHECKED = [
     "mergeable_summaries",
     "token_decontam",
     "token_minhash_dedup",
+    "token_repetition",
+    "temperature_mix",
     "multimodal_features",
     "embedding_ann_topk",
 ]
