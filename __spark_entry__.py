@@ -1596,8 +1596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "mergeable_summaries": q_mergeable_summaries,
         "multimodal_features": q_multimodal_features,
-        # rows-only by design (hyperplane/centroid families are
-        # engine-internal; recall vs brute force is pytest-proven)
+        # oracle-checked since r4 via the md5int plane/centroid family
+        # (similarity.ann_oracle_sql); recall vs brute force additionally
+        # pytest-proven for the production gaussian/sample families
         "embedding_ann_topk": q_embedding_ann_topk,
     }
 
