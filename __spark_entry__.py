@@ -750,6 +750,52 @@ def q_token_minhash_dedup(spark, sf):
     return out
 
 
+def q_custom_checks(spark, sf):
+    """User-defined constraints (plans/suite.py custom_checks +
+    marking.CustomCheck, new r4 — the engine's answer to the reference's
+    pluggable-transformer axis, pipelines/control.py:153-154): two
+    declarative SQL predicates — one HARD check over the token payload
+    (first token id < 100; fused into the same single marking scan, so
+    the payload is still read once) and one STATISTICAL check
+    (n_tok % 7 == 0, expected rate ~1/7 > the 0.1 stat_max_rate, so it
+    fails) — run through the full suite verdict lifecycle. The oracle
+    recomputes per-partition row counts, violation counts, the
+    hard/statistical pass rules, and the exact rate metric in SQL (the
+    metric division is the same IEEE BIGINT/BIGINT double division in
+    both engines, so it is compared unrounded)."""
+    from autoprepad_spark import CustomCheck, ValidationSuite
+
+    df = spark.read.parquet(_tokens_input(spark))
+    checks = [
+        CustomCheck(
+            name="first_token_low",
+            # try_element_at: NULL (not error) on empty arrays — NULL
+            # predicates count as pass, matching the oracle's WHERE
+            predicate="try_element_at(tokens, 1) < 100",
+            detail="try_element_at(tokens, 1)",
+            hard=True,
+        ),
+        CustomCheck(name="ntok_mod7", predicate="n_tok % 7 = 0", hard=False),
+    ]
+    res = ValidationSuite(
+        custom_checks=checks, checks=["first_token_low", "ntok_mod7"]
+    ).run(df)
+    out = (
+        res.verdicts.select(
+            "part",
+            "check_name",
+            "status",
+            F.col("metric").cast("double").alias("metric"),
+            "violation_count",
+            "row_count",
+        )
+        .cache()
+    )
+    out.count()
+    res.unpersist()
+    return out
+
+
 def q_token_repetition(spark, sf):
     """Token-domain repetition/degeneracy profile (operators/token_ops
     token_repetition_profile, new r4): per-sequence duplicate-n-gram
@@ -1551,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_minhash_dedup": q_token_minhash_dedup,
         "token_repetition": q_token_repetition,
         "temperature_mix": q_temperature_mix,
+        "custom_checks": q_custom_checks,
         "dedup_exact": q_dedup_exact,
         "minhash_dedup": q_minhash_dedup,
         "dup_clusters": q_dup_clusters,
@@ -2419,6 +2466,39 @@ def oracle_sql() -> dict[str, str]:
                    round(h.n_hits * 1.0 / s.bench_n, 6) AS overlap_frac,
                    h.n_hits * 1.0 / s.bench_n >= 0.5 AS contaminated
             FROM hits h JOIN bsize s USING (bench_id)
+        """,
+        "custom_checks": f"""
+            WITH tok AS (
+              SELECT * FROM read_parquet('{SCRATCH}/validate_tokens_input/*.parquet')
+            ),
+            rc AS (SELECT part, count(*) AS row_count FROM tok GROUP BY 1),
+            v1 AS (
+              SELECT part, count(*) AS vc FROM tok
+              WHERE len(tokens) > 0 AND tokens[1] < 100 GROUP BY 1
+            ),
+            v2 AS (
+              SELECT part, count(*) AS vc FROM tok
+              WHERE n_tok % 7 = 0 GROUP BY 1
+            ),
+            u AS (
+              SELECT rc.part, 'first_token_low' AS check_name, TRUE AS hard,
+                     coalesce(v1.vc, 0) AS vc, rc.row_count
+              FROM rc LEFT JOIN v1 USING (part)
+              UNION ALL
+              SELECT rc.part, 'ntok_mod7', FALSE,
+                     coalesce(v2.vc, 0), rc.row_count
+              FROM rc LEFT JOIN v2 USING (part)
+            )
+            SELECT part, check_name,
+                   CASE WHEN hard
+                        THEN CASE WHEN vc > 0 THEN 'fail' ELSE 'pass' END
+                        ELSE CASE WHEN vc / greatest(row_count, 1) > 0.1
+                                  THEN 'fail' ELSE 'pass' END
+                   END AS status,
+                   vc / greatest(row_count, 1) AS metric,
+                   vc::BIGINT AS violation_count,
+                   row_count::BIGINT AS row_count
+            FROM u
         """,
         "token_repetition": f"""
             WITH raw AS (

@@ -21,7 +21,7 @@ with partitioned parquet so the same code runs in the sandbox.
 """
 
 from autoprepad_spark.session import get_spark
-from autoprepad_spark.plans.suite import ValidationSuite
+from autoprepad_spark.plans.suite import CustomCheck, ValidationSuite
 from autoprepad_spark.plans.corpus import clean_corpus
 from autoprepad_spark.operators.tokenizer import bpe_encode, fit_bpe
 from autoprepad_spark.sources.warc import (
@@ -35,6 +35,7 @@ __version__ = "0.1.0"
 __all__ = [
     "get_spark",
     "ValidationSuite",
+    "CustomCheck",
     "clean_corpus",
     "fit_bpe",
     "bpe_encode",

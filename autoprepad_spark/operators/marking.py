@@ -23,6 +23,9 @@ input columns untouched (token-array equality invariant).
 
 from __future__ import annotations
 
+import re
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -52,6 +55,76 @@ FLAG_COLS = [f"f_{c}" for c in ROW_CHECKS]
 #: is small enough to ship as a literal (the common dimension-table case)
 REF_CHECK = "ref_source"
 REF_FLAG = f"f_{REF_CHECK}"
+
+_CHECK_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+@dataclass(frozen=True, eq=False)
+class CustomCheck:
+    """User-defined row constraint — the engine's extensibility point
+    (the reference exposes this axis as pluggable sklearn transformers,
+    pipelines/control.py:153-154; here a constraint is a declarative
+    Column predicate, so Catalyst fuses it into the SAME marking scan
+    as the built-in checks — no extra pass over the table, even for
+    predicates over the heavy ``tokens`` payload).
+
+    name       check_name in violations/verdicts; must be a bare
+               identifier and must not collide with a built-in check.
+    predicate  boolean Column or SQL expression string; True marks the
+               row as a VIOLATION. NULL counts as pass (wrap the
+               expression in coalesce yourself to invert that).
+    detail     optional Column / SQL string for the violation row's
+               ``detail`` payload (cast to string); defaults to n_tok.
+    hard       True: any violation fails the partition (HARD_CHECKS
+               rule). False: statistical rule — the partition passes
+               while the violation RATE stays <= the suite's
+               stat_max_rate.
+
+    Predicates evaluate JVM-side (whole-stage codegen) regardless of
+    the suite's marking engine, so arrow and native runs produce
+    identical custom flags. Expressions may reference any input column,
+    including extra columns beyond the declared schema."""
+
+    name: str
+    predicate: Column | str
+    detail: Column | str | None = None
+    hard: bool = True
+
+    def flag_col(self) -> Column:
+        p = (
+            F.expr(self.predicate)
+            if isinstance(self.predicate, str)
+            else self.predicate
+        )
+        return F.coalesce(p.cast("int"), F.lit(0))
+
+    def detail_col(self) -> Column | None:
+        if self.detail is None:
+            return None
+        d = F.expr(self.detail) if isinstance(self.detail, str) else self.detail
+        return d.cast("string")
+
+
+def validate_custom_checks(custom: list[CustomCheck] | None) -> list[CustomCheck]:
+    """Reject name collisions (with built-ins or each other) and names
+    that cannot be column suffixes. Returns the list for chaining."""
+    if not custom:
+        return []
+    reserved = set(ROW_CHECKS) | {REF_CHECK, "unique_doc_id"}
+    seen: set[str] = set()
+    for c in custom:
+        if not _CHECK_NAME_RE.match(c.name):
+            raise ValueError(
+                f"custom check name {c.name!r} must be a bare identifier"
+            )
+        if c.name in reserved:
+            raise ValueError(
+                f"custom check name {c.name!r} collides with a built-in check"
+            )
+        if c.name in seen:
+            raise ValueError(f"duplicate custom check name {c.name!r}")
+        seen.add(c.name)
+    return list(custom)
 
 
 def _flags_numpy(
@@ -223,6 +296,7 @@ def mark_slim(
     *,
     vocab_size: int = VOCAB_SIZE,
     allowed_sources: list[str] | None = None,
+    custom: list[CustomCheck] | None = None,
 ) -> DataFrame:
     """Marking pass for the validation plan: flags + array diagnostics,
     NO token passthrough — (part, doc_id, n_tok, source, _len, _tmin,
@@ -244,7 +318,21 @@ def mark_slim(
     vectorized in python over Arrow batches (north-rule contract).
 
     Flags are bit-identical to mark(engine="arrow")'s.
+
+    custom: extra CustomCheck constraints. Their predicates (and detail
+    expressions) are computed in the SAME projection as the built-in
+    token-array reductions — JVM codegen in the one pass that reads the
+    payload — then the flag/detail columns ride above the Arrow UDF
+    like the other diagnostics, so ``tokens`` is still pruned out of
+    the python exchange.
     """
+    custom = validate_custom_checks(custom)
+    custom_cols = []
+    for c in custom:
+        custom_cols.append(c.flag_col().alias(f"f_{c.name}"))
+        d = c.detail_col()
+        if d is not None:
+            custom_cols.append(d.alias(f"_d_{c.name}"))
     slim = df.select(
         "part",
         "doc_id",
@@ -255,8 +343,13 @@ def mark_slim(
         F.array_min("tokens").cast("double").alias("_tmin"),
         F.array_max("tokens").cast("double").alias("_tmax"),
         F.col("n_tok").cast("double").alias("_ntd"),
+        *custom_cols,
     )
     udf = _arrow_array_flag_udf(stats, vocab_size)
+    custom_names = [f.name for f in custom]
+    custom_keep = [f"f_{n}" for n in custom_names] + [
+        f"_d_{n}" for n in custom_names if f"_d_{n}" in slim.columns
+    ]
     out = slim.select(
         "part",
         "doc_id",
@@ -265,12 +358,13 @@ def mark_slim(
         "_len",
         "_tmin",
         "_tmax",
+        *custom_keep,
         udf("_dn", "_len", "_tmin", "_tmax", "_ntd").alias("_flags"),
     )
     for i, f in enumerate(FLAG_COLS):
         out = out.withColumn(f, F.shiftright("_flags", i).bitwiseAND(F.lit(1)))
     out = out.drop("_flags")
-    flag_cols = list(FLAG_COLS)
+    flag_cols = list(FLAG_COLS) + [f"f_{n}" for n in custom_names]
     if allowed_sources is not None:
         out = out.withColumn(
             REF_FLAG,
@@ -293,6 +387,7 @@ def mark(
     vocab_size: int = VOCAB_SIZE,
     engine: str = "arrow",
     allowed_sources: list[str] | None = None,
+    custom: list[CustomCheck] | None = None,
 ) -> DataFrame:
     """Append one 0/1 flag column per row check plus ``flag_total``.
 
@@ -305,7 +400,15 @@ def mark(
     small enough to collect (the broadcast side would have to fit in
     executor memory anyway); large dims use operators.referential.
     Null sources are not flagged here (completeness covers them).
+
+    custom: extra CustomCheck constraints, appended as ``f_<name>`` (and
+    ``_d_<name>`` detail) columns — JVM expressions regardless of the
+    predicate engine, so arrow and native runs agree bit-for-bit. Input
+    columns named ``f_*`` would collide with the flag convention that
+    explode_violations auto-discovers; the suite's schema validation
+    plus validate_custom_checks keep the namespace clean.
     """
+    custom = validate_custom_checks(custom)
     if engine == "arrow":
         udf = _arrow_flag_udf(stats, vocab_size)
         out = df.withColumn(
@@ -334,6 +437,12 @@ def mark(
     else:  # pragma: no cover
         raise ValueError(f"unknown engine {engine!r}")
     flag_cols = list(FLAG_COLS)
+    for c in custom:
+        out = out.withColumn(f"f_{c.name}", c.flag_col())
+        d = c.detail_col()
+        if d is not None:
+            out = out.withColumn(f"_d_{c.name}", d)
+        flag_cols.append(f"f_{c.name}")
     if allowed_sources is not None:
         out = out.withColumn(
             REF_FLAG,

@@ -36,7 +36,13 @@ from pyspark.sql import DataFrame, functions as F
 from autoprepad_spark import schema as S
 from autoprepad_spark.datagen import VOCAB_SIZE
 from autoprepad_spark.operators import drift as drift_mod
-from autoprepad_spark.operators.marking import ROW_CHECKS, mark, mark_slim
+from autoprepad_spark.operators.marking import (
+    CustomCheck,
+    ROW_CHECKS,
+    mark,
+    mark_slim,
+    validate_custom_checks,
+)
 from autoprepad_spark.operators.profile import ProfileStats, global_stats
 from autoprepad_spark.operators.uniqueness import duplicate_rows
 from autoprepad_spark.plans import verdicts as V
@@ -108,6 +114,13 @@ class ValidationSuite:
     #: branches are skipped in the PLAN (no uniqueness shuffle when
     #: unique_doc_id is excluded, no dim collect when ref_source is).
     checks: list[str] | None = None
+    #: user-defined constraints (marking.CustomCheck): declarative
+    #: Column/SQL predicates fused into the SAME marking scan as the
+    #: built-ins — violations, per-partition verdicts (hard or
+    #: statistical rule), checkpoint/resume and sinks all treat them
+    #: exactly like built-in checks. The `checks` subset knob applies
+    #: to their names too.
+    custom_checks: list = field(default_factory=list)
 
     def run(
         self,
@@ -133,10 +146,14 @@ class ValidationSuite:
 
         todo = checkpoint.remaining(df, run_id) if checkpoint and run_id else df
 
-        selected = set(self.checks) if self.checks is not None else set(ALL_CHECKS)
-        unknown = selected - set(ALL_CHECKS)
+        custom = validate_custom_checks(self.custom_checks)
+        custom_names = [c.name for c in custom]
+        all_checks = ALL_CHECKS + custom_names
+        selected = set(self.checks) if self.checks is not None else set(all_checks)
+        unknown = selected - set(all_checks)
         if unknown:
             raise ValueError(f"unknown checks: {sorted(unknown)}")
+        custom = [c for c in custom if c.name in selected]
 
         # Referential check: the dimension side must fit executor memory
         # to be broadcastable at all, so collect it once and inline the
@@ -156,12 +173,13 @@ class ValidationSuite:
         # queue-free mapInPandas variant — see mark_slim's docstring.
         if self.engine == "arrow":
             marked = mark_slim(
-                todo, stats, vocab_size=self.vocab_size, allowed_sources=allowed
+                todo, stats, vocab_size=self.vocab_size, allowed_sources=allowed,
+                custom=custom,
             )
         else:
             marked = mark(
                 todo, stats, vocab_size=self.vocab_size, engine=self.engine,
-                allowed_sources=allowed,
+                allowed_sources=allowed, custom=custom,
             )
         # ONE pass reads the token payload: marking (JVM array reductions
         # + Arrow predicate UDF) -> filter flagged rows -> explode, inside
@@ -244,11 +262,13 @@ class ValidationSuite:
         violations = violations.filter(F.col("check_name") != ROW_COUNT_MARK)
         check_names = [
             c
-            for c in ALL_CHECKS
+            for c in all_checks
             if c in selected and (c != "ref_source" or dim is not None)
         ]
+        hard = V.HARD_CHECKS | {c.name for c in custom if c.hard}
         verdicts = V.assemble_verdicts(
-            row_counts, violations, check_names, stat_max_rate=self.stat_max_rate
+            row_counts, violations, check_names,
+            stat_max_rate=self.stat_max_rate, hard_checks=hard,
         )
 
         drift_df = None

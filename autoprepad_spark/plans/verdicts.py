@@ -69,6 +69,19 @@ def explode_violations(marked: DataFrame, include: set[str] | None = None) -> Da
     ]
     if REF_FLAG in marked.columns:
         checks.append((REF_CHECK, REF_FLAG, F.col("source")))
+    # custom checks ride the marking pass as f_<name> (+ optional
+    # _d_<name> detail) columns — auto-discovered here by convention,
+    # so the explode needs no side-channel check registry
+    known = set(FLAG_COLS) | {REF_FLAG}
+    for col in marked.columns:
+        if col.startswith("f_") and col not in known:
+            name = col[2:]
+            detail = (
+                F.col(f"_d_{name}")
+                if f"_d_{name}" in marked.columns
+                else ntd
+            )
+            checks.append((name, col, detail))
     if include is not None:
         checks = [c for c in checks if c[0] in include]
     pairs = F.array(
@@ -100,10 +113,14 @@ def assemble_verdicts(
     check_names: list[str],
     *,
     stat_max_rate: float = STAT_MAX_RATE,
+    hard_checks: set[str] | None = None,
 ) -> DataFrame:
     """Densify (part x check) and compute pass/fail.
 
     row_counts: (part, row_count); violations: VIOLATION_SCHEMA rows.
+    hard_checks: names judged by the any-violation-fails rule (default
+    HARD_CHECKS); everything else uses the statistical rate rule. The
+    suite extends the default set with hard CustomChecks.
     """
     spark = row_counts.sparkSession
     checks = spark.createDataFrame([(c,) for c in check_names], ["check_name"])
@@ -115,7 +132,7 @@ def assemble_verdicts(
         {"violation_count": 0}
     )
     rate = F.col("violation_count") / F.greatest(F.col("row_count"), F.lit(1))
-    is_hard = F.col("check_name").isin(*sorted(HARD_CHECKS))
+    is_hard = F.col("check_name").isin(*sorted(hard_checks or HARD_CHECKS))
     status = F.when(
         is_hard, F.when(F.col("violation_count") > 0, "fail").otherwise("pass")
     ).otherwise(F.when(rate > stat_max_rate, "fail").otherwise("pass"))

@@ -68,6 +68,7 @@ _PLAN_CHECKED = [
     "token_minhash_dedup",
     "token_repetition",
     "temperature_mix",
+    "custom_checks",
     "multimodal_features",
     "embedding_ann_topk",
 ]
