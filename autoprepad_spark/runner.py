@@ -44,11 +44,30 @@ def main(argv: list[str] | None = None) -> int:
                     help="sketch quantiles instead of exact histogram")
     ap.add_argument("--report", default=None,
                     help="write an HTML run report to this path (S5 sink)")
+    ap.add_argument(
+        "--check", action="append", default=[], metavar="NAME=PREDICATE",
+        help="user-defined constraint (SQL predicate; true = violation), "
+             "repeatable; hard any-violation rule by default — prefix the "
+             "name with '~' for the statistical rate rule, e.g. "
+             "--check 'ctx_overflow=n_tok > 8192' "
+             "--check '~pad=try_element_at(tokens, 1) = 0'",
+    )
     args = ap.parse_args(argv)
 
     from autoprepad_spark.session import get_spark
-    from autoprepad_spark.plans.suite import ValidationSuite
+    from autoprepad_spark.plans.suite import CustomCheck, ValidationSuite
     from autoprepad_spark.plans.checkpoint import CheckpointTable
+
+    custom = []
+    for spec in args.check:
+        name, sep, pred = spec.partition("=")
+        if not sep or not name.strip() or not pred.strip():
+            ap.error(f"--check expects NAME=PREDICATE, got {spec!r}")
+        name = name.strip()
+        hard = not name.startswith("~")
+        custom.append(
+            CustomCheck(name.lstrip("~"), pred.strip(), hard=hard)
+        )
 
     spark = get_spark("autoprepad-runner", cores=args.cores)
 
@@ -63,7 +82,9 @@ def main(argv: list[str] | None = None) -> int:
     ck = CheckpointTable(spark, args.checkpoint) if args.checkpoint else None
 
     t0 = time.perf_counter()
-    suite = ValidationSuite(exact_quantiles=not args.approx)
+    suite = ValidationSuite(
+        exact_quantiles=not args.approx, custom_checks=custom
+    )
     # violations materialize straight into the output sink (the suite's
     # distributed-write path) — no in-memory cache of the violation set
     # and no second write pass

@@ -221,6 +221,30 @@ def test_checks_subset_applies_to_custom_names(spark, frame):
     res.unpersist()
 
 
+def test_runner_check_args(spark, frame, tmp_path):
+    """--check NAME=PREDICATE (repeatable, '~' prefix = statistical
+    rule) flows from the CLI into the suite and out to the verdict
+    sink."""
+    from autoprepad_spark.runner import main
+
+    df, _ = frame
+    inp, out = f"{tmp_path}/tok.parquet", f"{tmp_path}/out"
+    df.write.parquet(inp)
+    rc = main([
+        "--input", inp, "--output", out, "--run-id", "ck1",
+        "--check", "ctx_overflow=n_tok > 19",
+        "--check", "~mod3=n_tok % 3 = 0",
+    ])
+    assert rc == 2  # n_tok == 20 everywhere -> ctx_overflow fails
+    v = {
+        (r["check_name"], r["status"])
+        for r in spark.read.parquet(f"{out}/verdicts").collect()
+    }
+    assert ("ctx_overflow", "fail") in v
+    # rate of n_tok % 3 == 0 is 0 (all rows have n_tok == 20) -> pass
+    assert ("mod3", "pass") in v and ("mod3", "fail") not in v
+
+
 def test_name_validation():
     with pytest.raises(ValueError, match="collides"):
         validate_custom_checks([CustomCheck("ntok_z", "n_tok > 1")])
