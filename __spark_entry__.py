@@ -226,6 +226,27 @@ def q_impute_median(spark, sf):
     )
 
 
+def q_scale_impute(spark, sf):
+    """Board consolidation (the driver records only the FIRST 50
+    queries() entries): the two same-shaped preprocessing transforms —
+    robust (median/IQR) rescaling and median imputation — share one
+    entry with a family column; each keeps its own input table and
+    oracle branch."""
+    a = q_robust_scale(spark, sf).select(
+        F.lit("robust_scale").alias("family"),
+        F.col("l_returnflag").alias("grp"),
+        F.col("avg_scaled").alias("avg_value"),
+        "n_rows",
+    )
+    b = q_impute_median(spark, sf).select(
+        F.lit("impute_median").alias("family"),
+        F.col("event_type").alias("grp"),
+        "avg_value",
+        "n_rows",
+    )
+    return a.unionByName(b)
+
+
 def q_no_variance(spark, sf):
     ev = (
         _t(spark, sf, "events")
@@ -1160,6 +1181,34 @@ def q_asof_join(spark, sf):
     )
 
 
+def q_event_time_ops(spark, sf):
+    """Board consolidation (first-50 recording window): the two
+    event-time operators — gap sessionization and the as-of join —
+    share one long-form entry (family, item, value); each keeps its own
+    plan and oracle branch (DuckDB window gaps-and-islands vs native
+    ASOF LEFT JOIN). Counts are exact in doubles at these magnitudes."""
+    s = q_sessionize(spark, sf).select(
+        F.lit("sessionize").alias("family"),
+        F.col("n_events").cast("string").alias("item"),
+        F.col("n_sessions").cast("double").alias("value"),
+    )
+    a = q_asof_join(spark, sf).cache()  # one row; 3 melt branches read it
+    a.count()
+    melted = []
+    for item in ["n_left", "n_matched", "sum_asof"]:
+        melted.append(
+            a.select(
+                F.lit("asof_join").alias("family"),
+                F.lit(item).alias("item"),
+                F.col(item).cast("double").alias("value"),
+            )
+        )
+    out = s
+    for m in melted:
+        out = out.unionByName(m)
+    return out
+
+
 def q_profile_rollup(spark, sf):
     """Per-group + grand-total profile in ONE rollup hash agg (the
     grouping-sets plan shape, no union of two aggregations)."""
@@ -1185,18 +1234,41 @@ def q_top_terms(spark, sf):
 
 
 def q_stratified_sample(spark, sf):
-    """Deterministic training-mix sampling: per-source keep rates via
-    key-hash thresholds (parallelism-independent, engine-portable —
-    membership is md5-prefix < threshold on both engines)."""
+    """Deterministic training-mix sampling, BOTH rate sources in one
+    entry (board consolidation, first-50 recording window):
+    family='fixed' — explicit per-source keep rates via key-hash
+    thresholds (parallelism-independent, engine-portable — membership
+    is md5-prefix < threshold on both engines) over documents;
+    family='temperature' — rates DERIVED by temperature_mix_rates
+    (see q_temperature_mix) over the token table, realized through the
+    same pushed-down membership filter. Each family keeps its own
+    input and oracle branch."""
     from autoprepad_spark.operators.sampling import stratified_sample
 
     d = _t(spark, sf, "documents")
     frac = {"src0": 0.25, "src1": 0.75}
     out = stratified_sample(d, frac, group_col="source", key_col="doc_id", default=0.5)
-    return out.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.sum("n_chars").alias("sum_chars"),
+    rate = (
+        F.when(F.col("source") == "src0", F.lit(0.25))
+        .when(F.col("source") == "src1", F.lit(0.75))
+        .otherwise(F.lit(0.5))
     )
+    fixed = (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("sum_w"),
+        )
+        .select(F.lit("fixed").alias("family"), "source", "n_kept", "sum_w", rate.alias("rate"))
+    )
+    temp = q_temperature_mix(spark, sf).select(
+        F.lit("temperature").alias("family"),
+        "source",
+        "n_kept",
+        F.col("tok_kept").alias("sum_w"),
+        "rate",
+    )
+    return fixed.unionByName(temp)
 
 
 def q_temperature_mix(spark, sf):
@@ -1596,7 +1668,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_decontam": q_token_decontam,
         "token_minhash_dedup": q_token_minhash_dedup,
         "token_repetition": q_token_repetition,
-        "temperature_mix": q_temperature_mix,
         "custom_checks": q_custom_checks,
         "dedup_exact": q_dedup_exact,
         "minhash_dedup": q_minhash_dedup,
@@ -1612,8 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_profile": q_null_profile,
         "robust_flags": q_robust_flags,
         "flag_totals": q_flag_totals,
-        "robust_scale": q_robust_scale,
-        "impute_median": q_impute_median,
+        "scale_impute": q_scale_impute,
         "no_variance": q_no_variance,
         "mode_per_group": q_mode_per_group,
         "percentile_sweep": q_percentile_sweep,
@@ -1635,8 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_score": q_ensemble_score,
         "pack_sequences": q_pack_sequences,
         "grouped_robust": q_grouped_robust,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
+        "event_time_ops": q_event_time_ops,
         "profile_rollup": q_profile_rollup,
         "top_terms": q_top_terms,
         "stratified_sample": q_stratified_sample,
@@ -1899,21 +1968,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem, q, p, d GROUP BY 1
         """,
-        "robust_scale": """
-            WITH s AS (SELECT quantile_cont(l_quantity, 0.25) AS q1,
-                              quantile_cont(l_quantity, 0.5) AS med,
-                              quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem)
-            SELECT l_returnflag,
-                   round(avg((l_quantity - med) / (q3 - q1)), 6) AS avg_scaled,
-                   count(*) AS n_rows
-            FROM lineitem, s GROUP BY 1
-        """,
-        "impute_median": f"""
-            WITH ev AS ({_EV_NULLED}),
-                 m AS (SELECT quantile_cont(value, 0.5) AS med FROM ev)
-            SELECT event_type, round(avg(coalesce(value, med)), 6) AS avg_value,
-                   count(*) AS n_rows
-            FROM ev, m GROUP BY 1
+        "scale_impute": f"""
+            SELECT 'robust_scale' AS family, l_returnflag AS grp,
+                   avg_scaled AS avg_value, n_rows
+            FROM (
+              WITH s AS (SELECT quantile_cont(l_quantity, 0.25) AS q1,
+                                quantile_cont(l_quantity, 0.5) AS med,
+                                quantile_cont(l_quantity, 0.75) AS q3 FROM lineitem)
+              SELECT l_returnflag,
+                     round(avg((l_quantity - med) / (q3 - q1)), 6) AS avg_scaled,
+                     count(*) AS n_rows
+              FROM lineitem, s GROUP BY 1
+            ) a
+            UNION ALL
+            SELECT 'impute_median', event_type, avg_value, n_rows
+            FROM (
+              WITH ev AS ({_EV_NULLED}),
+                   m AS (SELECT quantile_cont(value, 0.5) AS med FROM ev)
+              SELECT event_type, round(avg(coalesce(value, med)), 6) AS avg_value,
+                     count(*) AS n_rows
+              FROM ev, m GROUP BY 1
+            ) b
         """,
         "no_variance": """
             WITH ev AS (SELECT value, 5.0 AS const,
@@ -2283,41 +2358,50 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN n_chars > 2000 THEN 1 ELSE 0 END)::BIGINT AS n_truncated
             FROM p GROUP BY 1
         """,
-        "sessionize": """
-            WITH o AS (
-              SELECT user_id, ts, event_id,
-                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-              FROM events
+        "event_time_ops": """
+            WITH sess AS (
+              SELECT n_events, count(*) AS n_sessions FROM (
+                WITH o AS (
+                  SELECT user_id, ts, event_id,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                  FROM events
+                ),
+                m AS (
+                  SELECT user_id, ts, event_id,
+                         CASE WHEN prev IS NULL
+                               OR date_diff('second', prev, ts) > 1800 THEN 1
+                              ELSE 0 END AS new_sess
+                  FROM o
+                ),
+                s AS (
+                  SELECT user_id,
+                         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                           AS session_idx
+                  FROM m
+                ),
+                g AS (SELECT user_id, session_idx, count(*) AS n_events
+                      FROM s GROUP BY 1, 2)
+                SELECT n_events FROM g
+              ) GROUP BY 1
             ),
-            m AS (
-              SELECT user_id, ts, event_id,
-                     CASE WHEN prev IS NULL
-                           OR date_diff('second', prev, ts) > 1800 THEN 1
-                          ELSE 0 END AS new_sess
-              FROM o
-            ),
-            s AS (
-              SELECT user_id,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                       AS session_idx
-              FROM m
-            ),
-            g AS (SELECT user_id, session_idx, count(*) AS n_events
-                  FROM s GROUP BY 1, 2)
-            SELECT n_events, count(*) AS n_sessions FROM g GROUP BY 1
-        """,
-        "asof_join": """
-            WITH l AS (SELECT user_id, ts, event_id FROM events
-                       WHERE event_type = 'view'),
-                 r AS (SELECT user_id, ts, max(value) AS value FROM events
-                       WHERE event_type = 'purchase' GROUP BY 1, 2)
-            SELECT count(*) AS n_left,
-                   sum(CASE WHEN r.value IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-                     AS n_matched,
-                   round(sum(r.value), 2) AS sum_asof
-            FROM l ASOF LEFT JOIN r
-              ON l.user_id = r.user_id AND l.ts >= r.ts
+            aj AS (
+              SELECT count(*) AS n_left,
+                     sum(CASE WHEN r.value IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_matched,
+                     round(sum(r.value), 2) AS sum_asof
+              FROM (SELECT user_id, ts, event_id FROM events
+                    WHERE event_type = 'view') l
+              ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value FROM events
+                              WHERE event_type = 'purchase' GROUP BY 1, 2) r
+                ON l.user_id = r.user_id AND l.ts >= r.ts
+            )
+            SELECT 'sessionize' AS family, n_events::VARCHAR AS item,
+                   n_sessions::DOUBLE AS value
+            FROM sess
+            UNION ALL SELECT 'asof_join', 'n_left', n_left::DOUBLE FROM aj
+            UNION ALL SELECT 'asof_join', 'n_matched', n_matched::DOUBLE FROM aj
+            UNION ALL SELECT 'asof_join', 'sum_asof', sum_asof FROM aj
         """,
         "profile_rollup": """
             SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '__all__'
@@ -2347,16 +2431,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, term, n, rank::BIGINT AS rank FROM r WHERE rank <= 5
         """,
-        "stratified_sample": """
-            SELECT source, count(*) AS n_sampled, sum(n_chars)::BIGINT AS sum_chars
-            FROM documents
-            WHERE md5(doc_id::VARCHAR) <
-                  CASE source
-                    WHEN 'src0' THEN printf('%08x', CAST(0.25 * 4294967296 AS BIGINT))
-                    WHEN 'src1' THEN printf('%08x', CAST(0.75 * 4294967296 AS BIGINT))
-                    ELSE printf('%08x', CAST(0.5 * 4294967296 AS BIGINT))
-                  END
-            GROUP BY 1
+        "stratified_sample": f"""
+            SELECT 'fixed' AS family, source, n_kept, sum_w,
+                   CASE source WHEN 'src0' THEN 0.25
+                               WHEN 'src1' THEN 0.75 ELSE 0.5 END AS rate
+            FROM (
+              SELECT source, count(*) AS n_kept, sum(n_chars)::BIGINT AS sum_w
+              FROM documents
+              WHERE md5(doc_id::VARCHAR) <
+                    CASE source
+                      WHEN 'src0' THEN printf('%08x', CAST(0.25 * 4294967296 AS BIGINT))
+                      WHEN 'src1' THEN printf('%08x', CAST(0.75 * 4294967296 AS BIGINT))
+                      ELSE printf('%08x', CAST(0.5 * 4294967296 AS BIGINT))
+                    END
+              GROUP BY 1
+            ) fx
+            UNION ALL
+            SELECT 'temperature', source, n_kept, tok_kept, rate
+            FROM (
+              WITH tok AS (
+                SELECT doc_id, n_tok, source
+                FROM read_parquet('{SCRATCH}/validate_tokens_input/*.parquet')
+                WHERE doc_id IS NOT NULL AND source IS NOT NULL
+                  AND n_tok IS NOT NULL
+              ),
+              mass AS (
+                SELECT source, sum(n_tok)::DOUBLE AS avail FROM tok GROUP BY 1
+              ),
+              tgt AS (SELECT source, avail, pow(avail, 0.5) AS t FROM mass),
+              z AS (SELECT sum(t) AS z FROM tgt),
+              sc AS (SELECT min(avail / (t / z)) AS scale FROM tgt, z),
+              rates AS (
+                SELECT source, round(scale * (t / z) / avail, 4) AS rate
+                FROM tgt, z, sc
+              ),
+              kept AS (
+                SELECT k.source, k.n_tok, r.rate
+                FROM tok k JOIN rates r USING (source)
+                WHERE md5(k.doc_id || 'temp') <
+                      CASE WHEN r.rate >= 1.0 THEN 'g'
+                           ELSE printf('%08x',
+                                CAST(floor(r.rate * 4294967296) AS BIGINT)) END
+              )
+              SELECT source, count(*)::BIGINT AS n_kept,
+                     sum(n_tok)::BIGINT AS tok_kept, min(rate) AS rate
+              FROM kept GROUP BY 1
+            ) tp
         """,
         "grouped_robust": """
             WITH s AS (
@@ -2563,35 +2683,6 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN g2 USING (doc_id)
             LEFT JOIN g8 USING (doc_id)
             LEFT JOIN mr USING (doc_id)
-        """,
-        "temperature_mix": f"""
-            WITH tok AS (
-              SELECT doc_id, n_tok, source
-              FROM read_parquet('{SCRATCH}/validate_tokens_input/*.parquet')
-              WHERE doc_id IS NOT NULL AND source IS NOT NULL
-                AND n_tok IS NOT NULL
-            ),
-            mass AS (
-              SELECT source, sum(n_tok)::DOUBLE AS avail FROM tok GROUP BY 1
-            ),
-            tgt AS (SELECT source, avail, pow(avail, 0.5) AS t FROM mass),
-            z AS (SELECT sum(t) AS z FROM tgt),
-            sc AS (SELECT min(avail / (t / z)) AS scale FROM tgt, z),
-            rates AS (
-              SELECT source, round(scale * (t / z) / avail, 4) AS rate
-              FROM tgt, z, sc
-            ),
-            kept AS (
-              SELECT k.source, k.n_tok, r.rate
-              FROM tok k JOIN rates r USING (source)
-              WHERE md5(k.doc_id || 'temp') <
-                    CASE WHEN r.rate >= 1.0 THEN 'g'
-                         ELSE printf('%08x',
-                              CAST(floor(r.rate * 4294967296) AS BIGINT)) END
-            )
-            SELECT source, count(*)::BIGINT AS n_kept,
-                   sum(n_tok)::BIGINT AS tok_kept, min(rate) AS rate
-            FROM kept GROUP BY 1
         """,
         "token_minhash_dedup": f"""
             WITH raw AS (

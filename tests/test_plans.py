@@ -34,8 +34,7 @@ _PLAN_CHECKED = [
     "null_profile",
     "robust_flags",
     "flag_totals",
-    "robust_scale",
-    "impute_median",
+    "scale_impute",
     "no_variance",
     "mode_per_group",
     "percentile_sweep",
@@ -57,8 +56,7 @@ _PLAN_CHECKED = [
     "ensemble_score",
     "pack_sequences",
     "grouped_robust",
-    "sessionize",
-    "asof_join",
+    "event_time_ops",
     "profile_rollup",
     "top_terms",
     "stratified_sample",
@@ -67,7 +65,6 @@ _PLAN_CHECKED = [
     "token_decontam",
     "token_minhash_dedup",
     "token_repetition",
-    "temperature_mix",
     "custom_checks",
     "multimodal_features",
     "embedding_ann_topk",
