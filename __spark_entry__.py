@@ -1273,7 +1273,9 @@ def q_stratified_sample(spark, sf):
 
 def q_temperature_mix(spark, sf):
     """Temperature-flattened source mixing (operators/sampling.py
-    temperature_mix_rates, new r4): target share of source g is
+    temperature_mix_rates, new r4; rides the stratified_sample board
+    entry as family='temperature' — first-50 recording window): target
+    share of source g is
     mass_g^alpha / sum_h mass_h^alpha — the mBERT/XLM-R sampling
     temperature, here alpha=0.5 over n_tok mass — realized WITHOUT
     replication (for alpha<1 the binding group is a smallest-mass

@@ -128,9 +128,19 @@ def _robust_from_hist(v: np.ndarray, c: np.ndarray) -> "RobustStats":
     """Exact RobustStats derived from a (values, counts) histogram.
 
     Mean/std are computed two-pass in float64 over the RLE histogram —
-    numerically the same as numpy over the expanded data (ddof=1)."""
+    numerically the same as numpy over the expanded data (ddof=1).
+
+    Cells are sorted by value FIRST: they arrive in collect order, which
+    is scheduler-dependent, and np.dot's accumulation order would
+    otherwise leak that nondeterminism into the last ulps of mean/std —
+    observed as a flaked exact-equality between the direct fit and the
+    merged-shard-profile fit under host contention. Sorted, the fit is
+    a pure function of the histogram MULTISET: bit-identical across
+    partitionings, schedulers, and fit paths."""
     if v.size == 0:
         return RobustStats(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
     n = int(c.sum())
     mean = float(np.dot(v, c) / n)
     var = float(np.dot(c, (v - mean) ** 2) / (n - 1)) if n > 1 else 0.0

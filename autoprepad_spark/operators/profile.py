@@ -259,7 +259,13 @@ def global_stats(df: DataFrame, *, exact_quantiles: bool = True) -> ProfileStats
         n_rows = int(sum(r["cnt"] for r in hist))
         if not n_rows:
             return ProfileStats(0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
-        nn = [(r["n_tok"], r["cnt"]) for r in hist if r["n_tok"] is not None]
+        # sort cells by value: collect order is scheduler-dependent and
+        # would leak into the last ulps of mean/std via np.dot's
+        # accumulation order (see stats._robust_from_hist) — sorted, the
+        # fit is a pure function of the histogram multiset
+        nn = sorted(
+            (r["n_tok"], r["cnt"]) for r in hist if r["n_tok"] is not None
+        )
         if nn:
             v = np.array([x for x, _ in nn], dtype=np.float64)
             c = np.array([n for _, n in nn], dtype=np.int64)
