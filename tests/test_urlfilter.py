@@ -145,7 +145,42 @@ def test_domain_suffixes_shape(spark):
     assert out[2] == ["localhost"]
 
 
-def test_blocklist_join_resolves_to_broadcast(spark, docs):
+@pytest.fixture()
+def aqe_defaults(spark):
+    """Pin every conf the AQE SMJ->BHJ conversion depends on.
+
+    The shared pytest session accumulates conf state from ~300 earlier
+    tests; this assertion is about AQE's runtime-size conversion, not
+    about whatever thresholds a previous module happened to leave
+    behind. nonEmptyPartitionRatioForBroadcastJoin is pinned to 0
+    because DynamicJoinSelection DEMOTES a broadcast candidate whose
+    shuffle output has <20% non-empty partitions — with 8 shuffle
+    partitions and a handful of blocklist hits the ratio sits exactly
+    at that boundary, which is a demotion-heuristic coin flip, not the
+    property under test."""
+    keys = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "10485760b",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "10485760b",
+        "spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin": "0.0",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    yield
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_blocklist_join_resolves_to_broadcast(spark, docs, aqe_defaults):
     """A dimension-sized blocklist must never leave the corpus in a
     sort-merge join: the suffix join broadcasts statically (blocklist is
     a known-small dim) and the hit join-back — statically unknown-sized,
