@@ -964,15 +964,15 @@ def q_embedding_topk(spark, sf):
 
 
 def q_embedding_ann_topk(spark, sf):
-    """Both approximate-NN paths in one entry, ORACLE-CHECKED since r4
-    via the md5int oracle family (the DSIR fit_oracle_sql pattern,
-    VERDICT r3 next-round #3): hyperplanes/centroids are pure md5
-    functions of (seed, salt, i, j) and bucketing runs over fixed-point
-    quantized vectors, so DuckDB recomputes signatures, cell
-    assignments, probe sets, and the exact top-k — see
-    similarity.ann_oracle_sql. The gaussian/sample production families
-    stay the library default; recall vs brute force is pytest-proven
-    for both families."""
+    """All three approximate-NN paths in one entry, ORACLE-CHECKED since
+    r4 via the md5int oracle family (the DSIR fit_oracle_sql pattern,
+    VERDICT r3 next-round #3): hyperplanes/centroids/JL-projection rows
+    are pure md5 functions of (seed, salt, i, j) and bucketing/projection
+    runs over fixed-point quantized vectors, so DuckDB recomputes
+    signatures, cell assignments, probe sets, projected coordinates, and
+    the exact top-k — see similarity.ann_oracle_sql. The gaussian/sample
+    production families stay the library default; recall vs brute force
+    is pytest-proven for every family."""
     em = _t(spark, sf, "embeddings")
     q = em.filter(F.col("vec_id") < 10)
     lsh = SIM.lsh_topk(em, q, k=5, dim=64, family="md5int").select(
@@ -988,7 +988,13 @@ def q_embedding_ann_topk(spark, sf):
         F.lit("ivf").alias("method"), "query_id", "neighbor_id",
         F.round("cos_sim", 4).alias("cos_sim"),
     )
-    return lsh.unionByName(ivf)
+    # third family (r4): Johnson–Lindenstrauss compress-then-scan —
+    # cosine top-k in the md5int-projected 16-d space, exact-integer
+    # coordinates, rounded-rank cut (see similarity.jl_topk)
+    jl = SIM.jl_topk(em, q, k=5, out_dim=16, dim=64, seed=42).select(
+        F.lit("jl").alias("method"), "query_id", "neighbor_id", "cos_sim"
+    )
+    return lsh.unionByName(ivf).unionByName(jl)
 
 
 def q_multimodal_features(spark, sf):
@@ -2267,6 +2273,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_ann_topk": SIM.ann_oracle_sql(
             query_pred="vec_id < 10", k=5, n_planes=12, n_tables=4,
             lsh_seed=42, n_cells=8, ivf_seed=42, nprobe=3, dim=64,
+            jl_dim=16, jl_seed=42,
         ),
         "anomaly_scores": f"""
             WITH {_ROBUST3},

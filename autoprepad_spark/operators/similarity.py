@@ -403,6 +403,107 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def jl_project_udf(mat: np.ndarray, *, quantize: bool = True,
+                   scale: float = ORACLE_QUANT_SCALE):
+    """Arrow-batched Johnson–Lindenstrauss projection: one numpy matmul
+    per batch against the fixed (out_dim, dim) matrix. With
+    ``quantize=True`` the input is fixed-point quantized first
+    (floor(x*scale+0.5)), so against an INTEGER matrix (md5_int_matrix)
+    every output coordinate is a sum of exact small integers in float64
+    — bit-identical under any summation order, hence recomputable by
+    DuckDB's sequential list_dot_product (the same exact-arithmetic
+    contract as the md5int LSH/IVF families)."""
+    pm = np.asarray(mat, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def proj(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        if quantize:
+            m = np.floor(m * scale + 0.5)
+        out = m @ pm.T
+        return pd.Series(list(out))
+
+    return proj
+
+
+def jl_project(
+    df: DataFrame,
+    *,
+    out_dim: int,
+    dim: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "jl_vec",
+    family: str = "md5int",
+) -> DataFrame:
+    """Compress an embedding column dim→out_dim by random projection.
+
+    The compress-then-cluster scale path: at 100 TB the dominant cost of
+    SemDeDup/IVF-style pipelines is shuffling wide vectors; projecting
+    1024-d float arrays to 16–64-d first cuts exchange bytes ~dim/out_dim
+    with JL-bounded distortion of pairwise angles. family="md5int" uses
+    the oracle hash family (integer matrix from md5 of (seed,'jl',i,j),
+    quantized input — engine-portable exact coordinates); "gaussian"
+    uses seeded numpy normals over the raw floats (the production
+    default when cross-engine exactness is not needed)."""
+    if family == "md5int":
+        mat = md5_int_matrix(out_dim, dim, seed, "jl")
+        u = jl_project_udf(mat, quantize=True)
+    else:
+        mat = np.asarray(_random_planes(dim, out_dim, seed), dtype=np.float64)
+        u = jl_project_udf(mat, quantize=False)
+    return df.withColumn(out_col, u(F.col(vec_col)))
+
+
+def jl_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    out_dim: int = 16,
+    dim: int | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    family: str = "md5int",
+) -> DataFrame:
+    """Top-k by cosine in the JL-COMPRESSED space (query_id, neighbor_id,
+    cos_sim, rank) — the third ANN family: no buckets or cells, just a
+    brute-force scan made cheap by projecting dim→out_dim first. Recall
+    comes from JL distance preservation instead of bucket collision, so
+    it has no recall cliff for out-of-cluster queries; the trade is a
+    full (compressed) scan per query batch.
+
+    Ranking uses round(cos,4) with neighbor_id tie-break: projected
+    coordinates are exact integers (md5int family), but a 16-term dot
+    product of ~1e7-magnitude values exceeds 2^53, so the last ulp of
+    the cosine is summation-order-dependent; ranking on the rounded
+    value keeps the top-k cut identical across Spark, numpy, and DuckDB
+    (same tolerance contract as the green float-cosine oracles)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    c = jl_project(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
+        out_dim=out_dim, dim=dim, seed=seed, vec_col=vec_col,
+        out_col="_cp", family=family,
+    ).drop(vec_col)
+    q = jl_project(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        out_dim=out_dim, dim=dim, seed=seed, vec_col=vec_col,
+        out_col="_qp", family=family,
+    ).drop(vec_col)
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine("_qp", "_cp"), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _md5_u32_sql(expr: str) -> str:
     """First 8 hex nibbles of md5(expr) as a BIGINT — the same nibble
     arithmetic as dsir.fit_oracle_sql (DuckDB has no conv())."""
@@ -424,6 +525,8 @@ def ann_oracle_sql(
     nprobe: int = 3,
     dim: int = 64,
     table: str = "embeddings",
+    jl_dim: int | None = None,
+    jl_seed: int = 42,
 ) -> str:
     """DuckDB SQL recomputing the ENTIRE md5int-family ANN query — LSH
     signatures, bucket candidates, IVF centroids, cell assignment, probe
@@ -438,7 +541,14 @@ def ann_oracle_sql(
     DuckDB's loop. Only the FINAL cosine (original float vectors) is
     real-float work, and it is rounded to 4 decimals on both sides —
     the same tolerance the green brute-force embedding_topk oracle
-    already relies on."""
+    already relies on.
+
+    With ``jl_dim`` set, a third branch recomputes jl_topk: the
+    (jl_dim, dim) projection matrix from md5 of (jl_seed,'jl',i,j),
+    every projected coordinate as an exact-integer list_dot_product
+    over the quantized vectors, and the top-k by ROUNDED projected
+    cosine with neighbor_id tie-break (mirroring jl_topk's rounded
+    ranking — see its docstring for why the rounding is load-bearing)."""
     plane_key = (
         f"concat(CAST({lsh_seed} + t.t AS VARCHAR), ':plane:', "
         "CAST(i.i AS VARCHAR), ':', CAST(j.j AS VARCHAR))"
@@ -447,6 +557,37 @@ def ann_oracle_sql(
         f"concat(CAST({ivf_seed} AS VARCHAR), ':cent:', "
         "CAST(c.c AS VARCHAR), ':', CAST(j.j AS VARCHAR))"
     )
+    jl_key = (
+        f"concat(CAST({jl_seed} AS VARCHAR), ':jl:', "
+        "CAST(i.i AS VARCHAR), ':', CAST(j.j AS VARCHAR))"
+    )
+    jl_ctes = ""
+    jl_union = ""
+    if jl_dim is not None:
+        jl_ctes = f""",
+jpl AS (
+  SELECT i.i,
+         list(((({_md5_u32_sql(jl_key)}) % 255) - 127)::DOUBLE ORDER BY j.j) AS p
+  FROM range({jl_dim}) i(i), range({dim}) j(j)
+  GROUP BY i.i
+),
+jp AS (
+  SELECT e.vec_id, list(list_dot_product(e.qv, l.p) ORDER BY l.i) AS pv
+  FROM e, jpl l
+  GROUP BY e.vec_id
+),
+jr AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.pv, c.pv), 4) AS sim
+        FROM jp q JOIN jp c ON c.vec_id <> q.vec_id
+        WHERE q.{query_pred})
+)"""
+        jl_union = f"""
+      UNION ALL
+      SELECT 'jl' AS method, * FROM jr WHERE rnk <= {k}"""
     return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -516,11 +657,11 @@ ir AS (
                list_cosine_similarity(eq.v, ec.v) AS sim
         FROM ic JOIN e eq ON eq.vec_id = ic.query_id
                 JOIN e ec ON ec.vec_id = ic.neighbor_id)
-)
+){jl_ctes}
 SELECT method, query_id, neighbor_id, round(sim, 4) AS cos_sim
 FROM (SELECT 'lsh' AS method, * FROM lr WHERE rnk <= {k}
       UNION ALL
-      SELECT 'ivf' AS method, * FROM ir WHERE rnk <= {k})
+      SELECT 'ivf' AS method, * FROM ir WHERE rnk <= {k}{jl_union})
 """
 
 
@@ -580,6 +721,7 @@ def semantic_duplicates(
     cell_method: str = "sample",
     max_cell_size: int = 100_000,
     dim: int | None = None,
+    project_dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     embedding — cluster the corpus with a coarse quantizer, then inside
@@ -601,11 +743,27 @@ def semantic_duplicates(
     ``max_cell_size`` raise (pick a larger n_cells) instead of silently
     OOMing an executor. Cluster count scales with corpus size, cells
     process in parallel, nothing corpus-sized is collected or broadcast.
+
+    project_dim: when set, the whole computation (clustering AND the
+    per-cell eps test) runs over a Johnson–Lindenstrauss compression of
+    the embeddings to that many dimensions (jl_project, gaussian
+    family) — the 100 TB shape: the one cell-keyed shuffle then moves
+    project_dim doubles per row instead of the full embedding width
+    (e.g. 1024→32 ≈ 32× fewer exchange bytes), at the cost of
+    JL-bounded distortion of the cosines eps is compared against.
     """
     if not 0.0 < eps <= 1.0:
         raise ValueError(f"eps must be in (0, 1], got {eps}")
+    work = corpus.select(id_col, vec_col)
+    if project_dim is not None:
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        work = jl_project(
+            work, out_dim=project_dim, dim=dim, seed=seed,
+            vec_col=vec_col, out_col=vec_col, family="gaussian",
+        )
     assigned, centroids = ivf_build(
-        corpus.select(id_col, vec_col),
+        work,
         n_cells=n_cells,
         id_col=id_col,
         vec_col=vec_col,

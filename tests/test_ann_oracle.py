@@ -124,3 +124,71 @@ def test_md5int_family_recall_vs_brute_force(spark, em_parquet):
     exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     assert len(exact_set & approx_set) >= len(exact_set) // 2
+
+
+def test_jl_md5int_matches_duckdb_oracle(spark, em_parquet):
+    """Row-for-row: jl_topk (md5int family) == the oracle's jl branch.
+
+    Projected coordinates are exact-integer float64 (quantized vectors x
+    integer md5 matrix), so the only float work is the final cosine —
+    rounded to 4 decimals and RANKED on the rounded value on both sides,
+    which is what makes the top-k cut engine-invariant (see jl_topk)."""
+    em = spark.read.parquet(em_parquet)
+    q = em.filter(F.col("vec_id") < 6)
+    got = sorted(
+        ("jl", r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in SIM.jl_topk(
+            em, q, k=4, out_dim=8, dim=16, seed=11, family="md5int"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{em_parquet}/*.parquet'"
+    )
+    sql = SIM.ann_oracle_sql(
+        query_pred="vec_id < 6", k=4, dim=16, jl_dim=8, jl_seed=11
+    )
+    want = sorted(
+        (m, int(qi), int(ni), round(float(s), 4))
+        for m, qi, ni, s in con.execute(sql).fetchall()
+        if m == "jl"
+    )
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], abs=1e-4)
+
+
+def test_jl_projection_exactness_and_numpy_parity(spark, em_parquet):
+    """md5int JL coordinates are exact integers and equal a driver-side
+    numpy recomputation bit-for-bit; the gaussian family matches numpy
+    within float tolerance."""
+    em = spark.read.parquet(em_parquet)
+    mat = SIM.md5_int_matrix(8, 16, 11, "jl")
+    rows = SIM.jl_project(
+        em, out_dim=8, dim=16, seed=11, out_col="pv", family="md5int"
+    ).select("vec_id", "embedding", "pv").collect()
+    for r in rows:
+        v = np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1000.0 + 0.5)
+        want = v @ mat.T
+        got = np.asarray(r["pv"])
+        assert (got == np.round(got)).all()  # exact integers in float64
+        assert (got == want).all()
+
+
+def test_jl_recall_vs_brute_force(spark, em_parquet):
+    """Compressed-space top-k must preserve NEAR-neighborhood on
+    clustered data (16d -> 8d): JL's contract is distance preservation
+    up to distortion, not exact rank order among a cluster's near-ties,
+    so the bar is compressed top-3 ⊆ true top-10 for >= 2/3 of pairs
+    (exact-top-3 agreement on this fixture is a coin flip between
+    same-cluster mates whose cosines differ in the 3rd decimal)."""
+    em = spark.read.parquet(em_parquet)
+    q = em.filter(F.col("vec_id") < 5)
+    exact10 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(em, q, k=10).collect()
+    }
+    approx = SIM.jl_topk(em, q, k=3, out_dim=8, dim=16, family="md5int").collect()
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert len(approx_set) == 15
+    assert len(approx_set & exact10) >= 10

@@ -197,3 +197,33 @@ def test_c4_on_random_corpus(spark):
         cleaned = _py_clean(t)
         assert out[i]["c4_text"] == cleaned, (i, t)
         assert out[i]["n_sentences"] == _py_sentences(cleaned), (i, t)
+
+
+def test_semdedup_projected_compress_then_cluster(spark):
+    """project_dim runs SemDeDup in JL-compressed space (the shuffle-byte
+    scale path). On the engineered corpus the tight clusters (cosine
+    ~0.999 within) must still collapse (8d -> 4d) and the schema/determinism
+    contract must hold; compressed keeps are parallelism-independent."""
+    rows = _mk_vectors()
+    a = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(1)
+    b = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8)
+    ra = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_duplicates(
+            a, eps=EPS, n_cells=4, project_dim=4
+        ).collect()
+    }
+    rb = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_duplicates(
+            b, eps=EPS, n_cells=4, project_dim=4
+        ).collect()
+    }
+    assert ra == rb
+    assert len(ra) == len(rows)
+    # the 5 tight 4-groups + 1 exact copy still deduplicate in 8d:
+    # strictly fewer kept than rows, and the exact copy of vec 0 can
+    # never survive alongside vec 0 (projection preserves equality)
+    assert sum(ra.values()) < len(rows)
+    last = rows[-1][0]
+    assert not (ra[0] and ra[last])
