@@ -192,3 +192,15 @@ def test_jl_recall_vs_brute_force(spark, em_parquet):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     assert len(approx_set) == 15
     assert len(approx_set & exact10) >= 10
+
+
+def test_jl_topk_plan_shape(spark, em_parquet):
+    """Physical plan: the projected query side broadcasts (corpus is
+    never shuffled) and no sort-merge join appears — the compressed
+    brute-force scan is one pass over the corpus."""
+    em = spark.read.parquet(em_parquet)
+    q = em.filter(F.col("vec_id") < 6)
+    out = SIM.jl_topk(em, q, k=4, out_dim=8, dim=16, seed=11)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+    assert "SortMergeJoin" not in plan
