@@ -86,8 +86,18 @@ def write_sized(
     partition_by: list[str] | None = None,
     encoding_ratio: float = DEFAULT_ENCODING_RATIO,
     n_rows: int | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> dict:
     """Write ``df`` so output files land near ``target_mb`` each.
+
+    zorder_cols: cluster the output on a Z-order key over these columns
+    (operators/layout.py) so every sized file also carries a tight
+    min/max envelope in EVERY listed column — sized AND prunable in one
+    write. Requires an explicit file count, so it forces the probe
+    flow (raises under method="rebalance": AQE's rebalance replaces the
+    range partitioning a Z-order needs); mutually exclusive with
+    ``partition_by`` (Z-ordering inside hive partitions is a per-
+    partition rewrite — use compact_files on each partition directory).
 
     rebalance: REBALANCE(partition_by...) + AQE advisory size =
     target_mb / encoding_ratio (shuffle bytes are pre-encoding, so the
@@ -103,6 +113,19 @@ def write_sized(
     Returns a report dict (method, n_files, bytes, target honored).
     """
     spark = df.sparkSession
+    if zorder_cols:
+        if method == "rebalance":
+            raise ValueError(
+                "zorder_cols needs an explicit file count: use "
+                "method='probe' (AQE rebalance would replace the "
+                "Z-order range partitioning)"
+            )
+        if partition_by:
+            raise ValueError(
+                "zorder_cols and partition_by are mutually exclusive; "
+                "Z-order inside hive partitions via compact_files per "
+                "partition directory"
+            )
     if method == "rebalance":
         advisory = int(target_mb * 1024 * 1024 / encoding_ratio)
         conf = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
@@ -124,9 +147,14 @@ def write_sized(
         if n_rows is None:
             n_rows = df.count()
         n_files = max(1, math.ceil(n_rows * row_bytes / (target_mb * 1024 * 1024)))
-        out = df.repartition(n_files, *(partition_by or [])) if partition_by else (
-            df.repartition(n_files)
-        )
+        if zorder_cols:
+            from autoprepad_spark.operators.layout import cluster_by_zorder
+
+            out = cluster_by_zorder(df, zorder_cols, num_partitions=n_files)
+        elif partition_by:
+            out = df.repartition(n_files, *partition_by)
+        else:
+            out = df.repartition(n_files)
         w = out.write.mode(mode).format(fmt)
         if partition_by:
             w = w.partitionBy(*partition_by)

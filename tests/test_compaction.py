@@ -95,3 +95,44 @@ def test_compact_files_noop_when_already_compact(spark, tmp_path):
 def test_write_sized_rejects_unknown_method(spark, tmp_path):
     with pytest.raises(ValueError, match="rebalance|probe"):
         write_sized(_docs(spark, 10), str(tmp_path / "x"), method="nope")
+
+
+def test_write_sized_zorder_probe_clusters_every_column(spark, tmp_path):
+    """zorder_cols: sized files whose per-FILE min/max envelopes are
+    tight in every clustered column (the prunable-write contract) —
+    checked the way a scan planner would, by reading each output file
+    alone. Guards: rebalance and partition_by are rejected."""
+    rows = [(x * 32 + y, float(x), float(y)) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "rid long, x double, y double")
+    path = str(tmp_path / "zsized")
+    # n_rows is the caller-known-count knob; inflating it here forces a
+    # multi-file layout out of 1024 tiny rows so envelopes are checkable
+    rep = write_sized(
+        df, path, target_mb=1, method="probe", n_rows=2_000_000,
+        zorder_cols=["x", "y"],
+    )
+    assert rep["method"] == "probe" and rep["n_files"] >= 1
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    assert len(files) >= 4
+    # each file's envelope must cover a strict minority of either
+    # column's range (a random or single-sorted layout fails one)
+    for col in ("x", "y"):
+        widths = []
+        for f in files:
+            one = spark.read.parquet(f).agg(
+                F.min(col).alias("mn"), F.max(col).alias("mx")
+            ).collect()[0]
+            widths.append(one["mx"] - one["mn"])
+        assert sum(widths) / len(widths) < 31.0 * 0.75, (col, widths)
+    with pytest.raises(ValueError, match="explicit file count"):
+        write_sized(df, path, method="rebalance", zorder_cols=["x"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        write_sized(
+            df, path, method="probe", zorder_cols=["x"], partition_by=["y"]
+        )
+    # unchanged rows round-trip
+    assert spark.read.parquet(path).count() == 1024
