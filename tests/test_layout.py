@@ -112,3 +112,44 @@ def test_key_skew_profile_matches_python_counts(spark):
     keys = [(r["rank"], r["key"], r["cnt"]) for r in out if r["kind"] == "key"]
     assert keys == [(1, "hot", 70), (2, "warm", 20), (3, "k0", 1)]
     assert all(r["suggested_salt"] == summary["suggested_salt"] for r in out)
+
+
+def test_zorder_key_clamps_stale_bounds_and_nulls(spark):
+    """Incremental reality: bounds fitted on an earlier shard, applied
+    to data that exceeds them (plus nulls and negatives). Out-of-range
+    values clamp to the edge buckets — same semantics as the Python
+    mirror — so a stale-bounds rewrite degrades to coarser clustering,
+    never to a wrong/overflowed key."""
+    bits = 4
+    bounds = {"a": (-10.0, 10.0), "b": (0.0, 5.0)}
+    rows = [
+        (0, -50.0, 2.5),   # a far below lo -> bucket 0
+        (1, 50.0, 2.5),    # a far above hi -> bucket 15
+        (2, None, 2.5),    # null -> bucket 0
+        (3, -10.0, 99.0),  # b above hi -> bucket 15
+        (4, 10.0, -1.0),   # b below lo -> bucket 0
+        (5, 0.0, 2.5),     # interior
+    ]
+    df = spark.createDataFrame(rows, "rid long, a double, b double")
+    got = {r["rid"]: r["z"] for r in df.select(
+        "rid", L.zorder_key(["a", "b"], bounds, bits=bits).alias("z")
+    ).collect()}
+
+    def q(x, lo, hi):
+        if x is None:
+            return 0
+        buckets = (1 << bits) - 1
+        return max(0, min(buckets, math.floor((x - lo) * buckets / (hi - lo))))
+
+    def z(a, b):
+        qa, qb = q(a, *bounds["a"]), q(b, *bounds["b"])
+        out = 0
+        for j in range(bits):
+            out |= ((qa >> j) & 1) << (j * 2)
+            out |= ((qb >> j) & 1) << (j * 2 + 1)
+        return out
+
+    for rid, a, b in [(r[0], r[1], r[2]) for r in rows]:
+        assert got[rid] == z(a, b), rid
+    # keys stay within the k*bits bit budget whatever the input
+    assert all(0 <= v < (1 << (2 * bits)) for v in got.values())
