@@ -140,3 +140,34 @@ def test_pca_compress_reuses_model_on_new_shard(spark, vec_df):
     mu, comps = np.asarray(model.mean), np.asarray(model.components)
     for i in range(4):
         assert np.allclose(got[100 + i], (new[i] - mu) @ comps.T, atol=1e-9)
+
+
+def test_pca_compress_feeds_semantic_dedup(spark):
+    """Composition contract: pca_compress output is a valid embedding
+    column for semantic_duplicates (the fitted alternative to
+    project_dim's oblivious JL path). Tight duplicate pairs must still
+    collapse in the compressed space."""
+    from autoprepad_spark.operators.similarity import semantic_duplicates
+    from autoprepad_spark.operators import spectral as SP
+
+    rng = np.random.default_rng(5)
+    basis = np.linalg.qr(rng.normal(size=(DIM, DIM)))[0]
+    scales = np.array([9.0, 5.0, 2.0] + [0.05] * (DIM - 3))
+    base = (rng.normal(size=(40, DIM)) * scales) @ basis.T
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        rows.append((2 * i + 1, [float(x) for x in base[i] * 1.0000001]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    compressed, model = SP.pca_compress(df, k=3, dim=DIM)
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_duplicates(
+            compressed, eps=0.999, n_cells=2, vec_col="pca_vec"
+        ).collect()
+    }
+    assert len(out) == 80
+    # every engineered pair loses exactly one member
+    for i in range(40):
+        assert out[2 * i] != out[2 * i + 1], i
