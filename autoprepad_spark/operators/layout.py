@@ -29,8 +29,11 @@ def column_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, floa
     gets (0, 0) and quantizes to bucket 0."""
     aggs = []
     for c in cols:
-        aggs.append(F.min(F.col(c).cast("double")).alias(f"_mn_{c}"))
-        aggs.append(F.max(F.col(c).cast("double")).alias(f"_mx_{c}"))
+        # try_cast: under ANSI mode (Spark 4 default) a plain cast of a
+        # non-numeric string THROWS mid-aggregation; null-on-failure
+        # routes such columns to the degenerate-bounds guard instead
+        aggs.append(F.min(F.col(c).try_cast("double")).alias(f"_mn_{c}"))
+        aggs.append(F.max(F.col(c).try_cast("double")).alias(f"_mx_{c}"))
     row = df.agg(*aggs).collect()[0]
     out = {}
     for c in cols:
@@ -48,7 +51,9 @@ def _quantize(col: str, lo: float, hi: float, bits: int) -> Column:
     if hi <= lo:
         return F.lit(0).cast("long")
     scale = buckets / (hi - lo)
-    q = F.floor((F.col(col).cast("double") - F.lit(lo)) * F.lit(scale))
+    # try_cast for the same ANSI reason as column_bounds: a stray
+    # non-numeric value becomes bucket 0, not a job-killing exception
+    q = F.floor((F.col(col).try_cast("double") - F.lit(lo)) * F.lit(scale))
     q = F.least(F.lit(buckets).cast("long"), F.greatest(F.lit(0).cast("long"), q.cast("long")))
     return F.coalesce(q, F.lit(0).cast("long"))
 
@@ -104,6 +109,18 @@ def cluster_by_zorder(
     the clustered predicates, not just the leading one."""
     if bounds is None:
         bounds = column_bounds(df, cols)
+    degenerate = [c for c in cols if bounds[c][1] <= bounds[c][0]]
+    if len(degenerate) == len(cols):
+        # every column quantizes to bucket 0 -> the key is a constant ->
+        # repartitionByRange collapses to ONE partition and one task
+        # writes the whole dataset; fail loudly instead (non-numeric
+        # columns cast to all-null bounds and land here too)
+        raise ValueError(
+            f"cluster_by_zorder: every clustering column {degenerate} has "
+            "degenerate (constant, all-null, or non-numeric) bounds — the "
+            "Z-key would be a single constant. Cluster on columns with "
+            "numeric spread, or hash a string column to a numeric first."
+        )
     z = zorder_key(cols, bounds, bits=bits)
     out = (
         df.withColumn("_zkey", z)
@@ -136,10 +153,13 @@ def key_skew_profile(
     The shuffle carries one row per DISTINCT key (map-side combined),
     the top-k cut is a distributed orderBy(limit) — nothing row-scale
     reaches the driver, so this runs at full-corpus scale as a cheap
-    pre-flight before a big keyed job."""
+    pre-flight before a big keyed job. The per-key counts are
+    localCheckpoint-ed before the stats pass, so the corpus is scanned
+    and shuffled ONCE: the returned DataFrame's execution reads the
+    materialized counts, not the input again."""
     counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).localCheckpoint()
     stats = counts.agg(
         F.sum("cnt").alias("total"),
         F.max("cnt").alias("max_cnt"),

@@ -189,7 +189,7 @@ def lsh_topk(
     see md5_int_matrix/quantize_vec). Final cosine scoring always uses
     the ORIGINAL float vectors; only bucketing is quantized."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _infer_dim(corpus, vec_col)
     sig_in = (
         quantize_vec(vec_col) if family == "md5int" else F.col(vec_col)
     )
@@ -288,7 +288,7 @@ def ivf_build(
     """
     if method == "md5int":
         if dim is None:
-            dim = len(corpus.select(vec_col).first()[0])
+            dim = _infer_dim(corpus, vec_col)
         centroids = md5_int_matrix(n_cells, dim, seed, "cent")
         assign = _assign_udf_exact(centroids)
         assigned = corpus.withColumn("cell", assign(quantize_vec(vec_col)))
@@ -455,6 +455,19 @@ def jl_project(
     return df.withColumn(out_col, u(F.col(vec_col)))
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Peek one row for the embedding width, with a clean error for an
+    empty input (first() returns None, which would otherwise surface as
+    a bare TypeError deep in the caller)."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding width: column {vec_col!r} has no "
+            "non-null rows; pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def jl_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -479,19 +492,26 @@ def jl_topk(
     product of ~1e7-magnitude values exceeds 2^53, so the last ulp of
     the cosine is summation-order-dependent; ranking on the rounded
     value keeps the top-k cut identical across Spark, numpy, and DuckDB
-    (same tolerance contract as the green float-cosine oracles)."""
+    (same tolerance contract as the green float-cosine oracles).
+
+    Zero-norm projected vectors (every coordinate quantized to 0 —
+    manufactured by the md5int path from vectors of magnitude below
+    half the quantization step) are EXCLUDED on both sides: their
+    cosine is undefined, and the engines disagree on the undefined
+    value's sort position (Spark null sorts last under DESC, DuckDB
+    NaN sorts first)."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _infer_dim(corpus, vec_col)
     c = jl_project(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col)),
         out_dim=out_dim, dim=dim, seed=seed, vec_col=vec_col,
         out_col="_cp", family=family,
-    ).drop(vec_col)
+    ).drop(vec_col).filter(dot("_cp", "_cp") > 0)
     q = jl_project(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
         out_dim=out_dim, dim=dim, seed=seed, vec_col=vec_col,
         out_col="_qp", family=family,
-    ).drop(vec_col)
+    ).drop(vec_col).filter(dot("_qp", "_qp") > 0)
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -583,7 +603,9 @@ jr AS (
   FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                round(list_cosine_similarity(q.pv, c.pv), 4) AS sim
         FROM jp q JOIN jp c ON c.vec_id <> q.vec_id
-        WHERE q.{query_pred})
+        WHERE q.{query_pred}
+          AND list_dot_product(q.pv, q.pv) > 0
+          AND list_dot_product(c.pv, c.pv) > 0)
 )"""
         jl_union = f"""
       UNION ALL
@@ -682,7 +704,7 @@ def embedding_near_duplicates(
 
     Pass ``dim`` (the embedding width) to skip the one-row peek job."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = _infer_dim(corpus, vec_col)
     pairs = None
     for t in range(n_tables):
         planes = _random_planes(dim, n_planes, seed + t)
@@ -757,7 +779,7 @@ def semantic_duplicates(
     work = corpus.select(id_col, vec_col)
     if project_dim is not None:
         if dim is None:
-            dim = len(corpus.select(vec_col).first()[0])
+            dim = _infer_dim(corpus, vec_col)
         work = jl_project(
             work, out_dim=project_dim, dim=dim, seed=seed,
             vec_col=vec_col, out_col=vec_col, family="gaussian",

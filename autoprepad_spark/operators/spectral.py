@@ -132,7 +132,13 @@ def fit_pca(
     |coordinate| made positive) so two fits of the same data agree up
     to float tolerance, not up to sign."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        row = df.select(vec_col).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                f"fit_pca: cannot infer dim — column {vec_col!r} has no "
+                "non-null rows; pass dim= explicitly"
+            )
+        dim = len(row[0])
     if not 1 <= k <= dim:
         raise ValueError(f"k must be in [1, {dim}], got {k}")
     rows = _merge_partials(

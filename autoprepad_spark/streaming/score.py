@@ -16,6 +16,12 @@ Scale shape: stateless per-batch projection + filter; the only state
 is the source-file checkpoint. Alerts are the thresholded subset
 written to their own sink so downstream consumers tail a small table,
 not the full scored firehose.
+
+Restart safety: both sinks are hive-partitioned by ``batch_id`` and
+written with dynamic partition OVERWRITE (the
+stream_dedup_against_index pattern, validate.py) — a batch replayed
+after a crash between the write and the checkpoint commit overwrites
+its own partition instead of duplicating rows or re-firing alerts.
 """
 
 from __future__ import annotations
@@ -58,24 +64,34 @@ def stream_score(
         .parquet(input_path)
     )
 
+    def _write(df: DataFrame, path: str) -> None:
+        # dynamic partition overwrite on batch_id: a replayed batch
+        # replaces its own partition (metadata-level), never duplicates
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cols = batch_df.columns if keep_cols is None else keep_cols
         out = batch_df.select(
-            *(keep_cols or batch_df.columns),
-            score.alias("anomaly_score"),
+            *cols, score.alias("anomaly_score")
         ).withColumn("batch_id", F.lit(batch_id))
         if threshold is not None:
             # one cached pass feeds both sinks; the alert subset is
             # bounded by the threshold's fitted tail mass
             out = out.cache()
             try:
-                out.write.mode("append").parquet(scored_path)
-                out.filter(F.col("anomaly_score") > threshold).write.mode(
-                    "append"
-                ).parquet(alert_path)
+                _write(out, scored_path)
+                _write(
+                    out.filter(F.col("anomaly_score") > threshold), alert_path
+                )
             finally:
                 out.unpersist()
         else:
-            out.write.mode("append").parquet(scored_path)
+            _write(out, scored_path)
 
     writer = (
         reader.writeStream.foreachBatch(process_batch)

@@ -204,3 +204,48 @@ def test_jl_topk_plan_shape(spark, em_parquet):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_jl_zero_norm_vectors_excluded_and_oracle_agrees(spark, tmp_path):
+    """A vector whose every coordinate quantizes to 0 has an undefined
+    cosine in the compressed space — Spark yields NULL (sorts last
+    DESC), DuckDB NaN (sorts FIRST) — so jl_topk and the oracle both
+    EXCLUDE zero-norm projected vectors; parity must survive their
+    presence."""
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.normal(size=16)], "l") for i in range(30)]
+    rows.append((30, [1e-5] * 16, "l"))  # quantizes to the zero vector
+    em = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    path = str(tmp_path / "z.parquet")
+    em.coalesce(1).write.mode("overwrite").parquet(path)
+    emr = spark.read.parquet(path)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in SIM.jl_topk(
+            emr, emr.filter(F.col("vec_id") < 3), k=4, out_dim=8, dim=16,
+            seed=11, family="md5int",
+        ).collect()
+    )
+    assert all(n != 30 for _, n, _ in got)  # zero vector never a neighbor
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}/*.parquet'")
+    want = sorted(
+        (int(qi), int(ni), round(float(s), 4))
+        for m, qi, ni, s in con.execute(
+            SIM.ann_oracle_sql(
+                query_pred="vec_id < 3", k=4, dim=16, jl_dim=8, jl_seed=11
+            )
+        ).fetchall()
+        if m == "jl"
+    )
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+
+
+def test_jl_topk_empty_corpus_raises_cleanly(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label string"
+    )
+    with pytest.raises(ValueError, match="cannot infer embedding width"):
+        SIM.jl_topk(empty, empty, k=3)

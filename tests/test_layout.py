@@ -153,3 +153,23 @@ def test_zorder_key_clamps_stale_bounds_and_nulls(spark):
         assert got[rid] == z(a, b), rid
     # keys stay within the k*bits bit budget whatever the input
     assert all(0 <= v < (1 << (2 * bits)) for v in got.values())
+
+
+def test_cluster_by_zorder_rejects_all_degenerate_columns(spark):
+    """A constant / non-numeric clustering set would make the Z-key a
+    single constant and collapse repartitionByRange to ONE task writing
+    everything — raise instead (a string column casts to all-null
+    bounds and must land here too)."""
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, 5.0, "b")], "rid long, c double, s string"
+    )
+    with pytest.raises(ValueError, match="degenerate"):
+        L.cluster_by_zorder(df, ["c"], num_partitions=4)
+    with pytest.raises(ValueError, match="degenerate"):
+        L.cluster_by_zorder(df, ["s"], num_partitions=4)
+    # one live column among degenerate ones is fine (coarser, not wrong)
+    df2 = spark.createDataFrame(
+        [(i, 5.0, float(i)) for i in range(16)], "rid long, c double, d double"
+    )
+    out = L.cluster_by_zorder(df2, ["c", "d"], num_partitions=2)
+    assert out.count() == 16

@@ -115,3 +115,46 @@ def test_stream_score_guards(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "c"),
             scored_path=str(tmp_path / "s"),
         )
+
+
+def test_stream_score_replay_overwrites_not_duplicates(spark, tmp_path):
+    """Crash-replay semantics: sinks are hive-partitioned by batch_id
+    with dynamic partition overwrite, so reprocessing the same files
+    (checkpoint lost = worst case) REPLACES each batch partition
+    instead of appending duplicates."""
+    import shutil
+
+    arriving = _cloud(60, seed=4)
+    inp = str(tmp_path / "in")
+    _df(spark, arriving).write.mode("overwrite").parquet(inp)
+    paths = dict(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        scored_path=str(tmp_path / "scored"),
+    )
+    model = SP.fit_pca(_df(spark, _cloud(200, seed=1)), k=2, dim=DIM)
+    for _ in range(2):
+        q = stream_score(
+            spark, inp, schema=SCHEMA,
+            score=SP.pca_score_udf(model)(F.col("embedding")),
+            keep_cols=["vec_id"], **paths,
+        )
+        q.awaitTermination(120)
+        shutil.rmtree(paths["checkpoint_dir"])  # simulate lost checkpoint
+        assert spark.read.parquet(paths["scored_path"]).count() == 60
+
+
+def test_stream_score_empty_keep_cols_means_no_passthrough(spark, tmp_path):
+    """keep_cols=[] is 'no passthrough columns', not 'all columns'."""
+    inp = str(tmp_path / "in")
+    _df(spark, _cloud(10, seed=6)).write.mode("overwrite").parquet(inp)
+    model = SP.fit_pca(_df(spark, _cloud(50, seed=1)), k=2, dim=DIM)
+    q = stream_score(
+        spark, inp, schema=SCHEMA,
+        score=SP.pca_score_udf(model)(F.col("embedding")),
+        keep_cols=[], checkpoint_dir=str(tmp_path / "c"),
+        scored_path=str(tmp_path / "s"),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "s"))
+    assert set(out.columns) == {"anomaly_score", "batch_id"}
+    assert out.count() == 10

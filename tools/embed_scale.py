@@ -117,7 +117,7 @@ def run_worker(cores: int, rows: int) -> None:
 def main(rows: int, n_cores: int, n4_cores: int) -> None:
     results = {}
     for cores in (n_cores, n4_cores):
-        cmd = [sys.executable, __file__, "--worker", str(cores), str(rows)]
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cores), str(rows)]
         if os.path.exists("/usr/bin/taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         p = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
