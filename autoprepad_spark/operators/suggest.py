@@ -1,0 +1,406 @@
+"""Constraint suggestion + profile snapshots/diff — the engine's
+profile-to-constraints loop.
+
+No reference counterpart (the reference's anomaly pipeline *fits*
+thresholds transformer-by-transformer — TukeyTransformer.py:36-42 etc. —
+but never emits reusable declarative constraints); this is the
+Deequ-style ``ConstraintSuggestion`` capability a validation engine
+needs at corpus scale: profile a snapshot once, compile what the data
+already satisfies into `CustomCheck` predicates, and run those checks
+forever after inside `ValidationSuite`'s single marking scan.
+
+Plan shape (the part that must survive 10^12 rows):
+
+* **pass 1** — `column_profile`: ONE wide codegen hash-agg over all
+  requested columns (count / nulls / min / max / approx-distinct per
+  column in the same partial+final agg; the result is a single row, so
+  the driver collect is O(|cols|), never O(rows)). Distinct counts use
+  Spark's built-in HLL++ (`approx_count_distinct`, rsd 2%) because here
+  the estimate only *gates* later decisions — the checks it wires up
+  (uniqueness, isin) are themselves exact at validation time.
+* **pass 2** — exact domains, ONLY for columns whose distinct estimate
+  clears the `domain_max` guard: a column-pruned scan melts just those
+  columns, groupBy(col, value) bounds the shuffle at
+  O(Σ small-column domains), and a row_number window caps what reaches
+  the driver at `domain_max + 1` values per column — a column whose
+  estimate lied past the cap loses its isin suggestion instead of
+  blowing up the driver.
+
+`profile_snapshot` persists pass 1 as a tiny (|cols|-row) frame;
+`snapshot_diff` full-outer-joins two snapshots to report schema
+evolution (added / removed / type-changed) and distribution movement
+(null-rate delta, numeric bounds escape, distinct-density swing,
+row-count swing) — the "did yesterday's corpus drift under me"
+question answered from two kilobyte-scale artifacts, no rescan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from autoprepad_spark.operators.marking import CustomCheck
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+#: schema of profile_snapshot / column_profile output
+SNAPSHOT_SCHEMA = T.StructType([
+    T.StructField("column", T.StringType(), False),
+    T.StructField("dtype", T.StringType(), False),
+    T.StructField("n_rows", T.LongType(), False),
+    T.StructField("n_null", T.LongType(), False),
+    T.StructField("distinct_est", T.LongType(), False),
+    T.StructField("min_value", T.StringType(), True),
+    T.StructField("max_value", T.StringType(), True),
+    T.StructField("min_num", T.DoubleType(), True),
+    T.StructField("max_num", T.DoubleType(), True),
+])
+
+
+def _profilable(df: DataFrame, cols: list[str] | None) -> list[tuple[str, T.DataType]]:
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if cols is None:
+        # atomic columns only — arrays/structs/maps/binary have no
+        # meaningful min/max/domain semantics for constraint suggestion
+        return [
+            (n, t)
+            for n, t in fields.items()
+            if isinstance(t, (T.StringType, T.BooleanType, T.DateType,
+                              T.TimestampType, *_NUMERIC))
+        ]
+    missing = [c for c in cols if c not in fields]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    return [(c, fields[c]) for c in cols]
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column stats from ONE wide agg scan.
+
+    Returns a |cols|-row frame with SNAPSHOT_SCHEMA. min/max are carried
+    twice: as display strings (every type) and as doubles (numeric
+    columns only) so snapshot_diff can do real interval arithmetic.
+    approx_count_distinct is deterministic for a fixed input regardless
+    of partitioning (HLL++ register-union is order-independent), so
+    snapshots taken at different parallelism are byte-identical.
+    """
+    spark = df.sparkSession
+    pcols = _profilable(df, cols)
+    if not pcols:
+        return spark.createDataFrame([], SNAPSHOT_SCHEMA)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c, t in pcols:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"nn_{c}"))
+        aggs.append(F.approx_count_distinct(col, 0.02).alias(f"d_{c}"))
+        aggs.append(F.min(col).cast("string").alias(f"mins_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"maxs_{c}"))
+        if isinstance(t, _NUMERIC):
+            aggs.append(F.min(col).cast("double").alias(f"minn_{c}"))
+            aggs.append(F.max(col).cast("double").alias(f"maxn_{c}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+    out = []
+    for c, t in pcols:
+        out.append((
+            c, t.simpleString(), int(row["__n"]),
+            int(row["__n"]) - int(row[f"nn_{c}"]),
+            int(row[f"d_{c}"]),
+            row[f"mins_{c}"], row[f"maxs_{c}"],
+            row.get(f"minn_{c}"), row.get(f"maxn_{c}"),
+        ))
+    return spark.createDataFrame(out, SNAPSHOT_SCHEMA)
+
+
+def profile_snapshot(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Alias of column_profile — the persistable snapshot artifact
+    (write it next to the checkpoint table; kilobytes per snapshot)."""
+    return column_profile(df, cols)
+
+
+# ---------------------------------------------------------------------------
+# suggestion
+# ---------------------------------------------------------------------------
+
+#: schema of suggest_checks output
+SUGGESTION_SCHEMA = T.StructType([
+    T.StructField("column", T.StringType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("predicate_sql", T.StringType(), True),
+    T.StructField("params", T.StringType(), False),
+    T.StructField("evidence", T.StringType(), False),
+    T.StructField("hard", T.BooleanType(), False),
+])
+
+
+def _sql_literal(v: str, dtype: str) -> str:
+    if dtype in ("string", "date", "timestamp"):
+        return "'" + v.replace("'", "''") + "'"
+    return v
+
+
+@dataclass(frozen=True)
+class SuggestConfig:
+    """Knobs for suggest_checks; defaults follow Deequ's spirit.
+
+    domain_max       isin suggested only when the EXACT domain has at
+                     most this many values.
+    domain_slack     estimate guard for the pass-2 scan: a column enters
+                     the exact-domain pass when its HLL estimate is
+                     <= domain_max * domain_slack (covers the 2% rsd).
+    null_headroom    suggested statistical null-rate ceiling =
+                     observed_rate * null_headroom (capped at 1.0).
+    unique_margin    `unique` suggested when distinct_est >=
+                     (1 - unique_margin) * non-null count — wide enough
+                     that the rsd can't suppress a truly-unique column,
+                     tight enough that 2x duplication never passes.
+    """
+
+    domain_max: int = 32
+    domain_slack: float = 2.0
+    null_headroom: float = 1.5
+    unique_margin: float = 0.05
+
+
+def suggest_checks(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    config: SuggestConfig = SuggestConfig(),
+    profile: DataFrame | None = None,
+) -> DataFrame:
+    """Suggest declarative constraints the data currently satisfies.
+
+    Returns SUGGESTION_SCHEMA rows, deterministic order (column, kind).
+    Pass a pre-computed `profile` (column_profile output) to skip
+    pass 1 — e.g. when suggesting from a persisted snapshot.
+
+    Kinds emitted:
+      not_null        column has zero nulls (hard)
+      null_rate_max   column has nulls; ceiling = rate * headroom (soft)
+      unique          distinct ~= non-null count — wire to the suite's
+                      exact salted uniqueness check (no row predicate)
+      isin            exact domain <= domain_max values (hard)
+      non_negative    numeric with min >= 0 (hard)
+      range           numeric observed [min, max] (soft — future data
+                      may legitimately exceed a sample's bounds)
+    """
+    spark = df.sparkSession
+    pcols = dict(_profilable(df, cols))
+    prof = profile if profile is not None else column_profile(df, cols)
+    stats = {r["column"]: r for r in prof.collect() if r["column"] in pcols}
+
+    out: list[tuple] = []
+    small: list[str] = []
+    for c, r in stats.items():
+        n, nn = r["n_rows"], r["n_rows"] - r["n_null"]
+        if n == 0:
+            continue
+        dtype = r["dtype"]
+        if r["n_null"] == 0:
+            out.append((c, "not_null", f"`{c}` IS NULL",
+                        "{}", f"nulls=0 of {n}", True))
+        else:
+            rate = r["n_null"] / n
+            ceil = min(1.0, rate * config.null_headroom)
+            out.append((c, "null_rate_max", f"`{c}` IS NULL",
+                        f'{{"max_rate": {ceil:.6f}}}',
+                        f"null_rate={rate:.6f}", False))
+        if nn > 0 and r["distinct_est"] >= (1 - config.unique_margin) * nn:
+            out.append((c, "unique", None, "{}",
+                        f"distinct_est={r['distinct_est']} of {nn} non-null",
+                        True))
+        if nn > 0 and r["distinct_est"] <= config.domain_max * config.domain_slack:
+            small.append(c)
+        if r["min_num"] is not None:
+            if r["min_num"] >= 0:
+                out.append((c, "non_negative", f"`{c}` < 0", "{}",
+                            f"min={r['min_num']}", True))
+            lo, hi = repr(r["min_num"]), repr(r["max_num"])
+            out.append((c, "range",
+                        f"`{c}` < {lo} OR `{c}` > {hi}",
+                        f'{{"min": {lo}, "max": {hi}}}',
+                        f"observed=[{lo}, {hi}]", False))
+
+    # pass 2: exact domains for estimate-gated columns. Column-pruned
+    # scan; groupBy bounded by the (small) true domains; row_number cap
+    # keeps the driver collect at domain_max+1 values per column even if
+    # an estimate lied.
+    if small:
+        melted = df.select(
+            F.explode(F.array(*[
+                F.struct(F.lit(c).alias("column"),
+                         F.col(c).cast("string").alias("value"))
+                for c in small
+            ])).alias("kv")
+        ).select("kv.column", "kv.value").filter(F.col("value").isNotNull())
+        counts = melted.groupBy("column", "value").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("column").orderBy(
+            F.desc("cnt"), F.asc("value"))
+        capped = counts.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= config.domain_max + 1)
+        by_col: dict[str, list[str]] = {}
+        for r in capped.collect():
+            by_col.setdefault(r["column"], []).append(r["value"])
+        for c in small:
+            dom = by_col.get(c, [])
+            if not dom or len(dom) > config.domain_max:
+                continue  # estimate lied past the cap, or all-null
+            dom = sorted(dom)
+            lits = ", ".join(_sql_literal(v, stats[c]["dtype"]) for v in dom)
+            out.append((c, "isin",
+                        f"`{c}` IS NOT NULL AND `{c}` NOT IN ({lits})",
+                        '{"domain_size": %d}' % len(dom),
+                        "domain=[" + ", ".join(dom) + "]", True))
+
+    out.sort(key=lambda t: (t[0], t[1]))
+    return spark.createDataFrame(out, SUGGESTION_SCHEMA)
+
+
+def to_custom_checks(
+    suggestions: DataFrame | list,
+    *,
+    prefix: str = "sugg",
+) -> list[CustomCheck]:
+    """Compile suggestion rows into ValidationSuite CustomChecks.
+
+    Rows without a row predicate (kind=unique — covered by the suite's
+    exact uniqueness check) are skipped. Check names are
+    `{prefix}_{kind}_{column}`, stable across runs so checkpoint/resume
+    and verdict history line up run-over-run.
+    """
+    rows = suggestions.collect() if isinstance(suggestions, DataFrame) else suggestions
+    checks = []
+    for r in rows:
+        if r["predicate_sql"] is None:
+            continue
+        name = f"{prefix}_{r['kind']}_{r['column']}"
+        checks.append(CustomCheck(
+            name=name, predicate=r["predicate_sql"], hard=bool(r["hard"]),
+        ))
+    return checks
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------------
+
+#: schema of snapshot_diff output
+DIFF_SCHEMA = T.StructType([
+    T.StructField("column", T.StringType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("old_value", T.StringType(), True),
+    T.StructField("new_value", T.StringType(), True),
+    T.StructField("severity", T.StringType(), False),
+])
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    null_rate_tol: float = 0.01,
+    density_ratio_tol: float = 2.0,
+    row_ratio_tol: float = 2.0,
+) -> DataFrame:
+    """Schema + distribution changes between two profile snapshots.
+
+    Pure DataFrame logic over two |cols|-row frames (a full-outer join
+    plus column expressions — no scan of either underlying table).
+
+    Change kinds (severity hard/info):
+      column_added / column_removed     hard
+      type_changed                      hard
+      null_rate_shift                   |Δ null_rate| > null_rate_tol (info)
+      bounds_escape                     numeric [min,max] left the old
+                                        interval (info)
+      distinct_density_shift            distinct/non-null ratio moved by
+                                        more than density_ratio_tol x (info)
+      row_count_shift (column='*')      row count moved by more than
+                                        row_ratio_tol x (info)
+    """
+    o = old.select([F.col(c).alias(f"o_{c}") for c in old.columns])
+    n = new.select([F.col(c).alias(f"n_{c}") for c in new.columns])
+    j = o.join(n, o["o_column"] == n["n_column"], "full_outer")
+
+    col = F.coalesce(F.col("o_column"), F.col("n_column"))
+    o_nn = (F.col("o_n_rows") - F.col("o_n_null")).cast("double")
+    n_nn = (F.col("n_n_rows") - F.col("n_n_null")).cast("double")
+    o_rate = F.col("o_n_null") / F.greatest(F.col("o_n_rows"), F.lit(1))
+    n_rate = F.col("n_n_null") / F.greatest(F.col("n_n_rows"), F.lit(1))
+    o_dens = F.col("o_distinct_est") / F.greatest(o_nn, F.lit(1.0))
+    n_dens = F.col("n_distinct_est") / F.greatest(n_nn, F.lit(1.0))
+    dens_ratio = F.greatest(o_dens, n_dens) / F.greatest(
+        F.least(o_dens, n_dens), F.lit(1e-12))
+
+    changes = j.select(
+        col.alias("column"),
+        F.array_compact(F.array(
+            F.when(F.col("o_column").isNull(), F.struct(
+                F.lit("column_added").alias("kind"),
+                F.lit(None).cast("string").alias("old_value"),
+                F.col("n_dtype").alias("new_value"),
+                F.lit("hard").alias("severity"))),
+            F.when(F.col("n_column").isNull(), F.struct(
+                F.lit("column_removed").alias("kind"),
+                F.col("o_dtype").alias("old_value"),
+                F.lit(None).cast("string").alias("new_value"),
+                F.lit("hard").alias("severity"))),
+            F.when(
+                F.col("o_column").isNotNull() & F.col("n_column").isNotNull()
+                & (F.col("o_dtype") != F.col("n_dtype")),
+                F.struct(
+                    F.lit("type_changed").alias("kind"),
+                    F.col("o_dtype").alias("old_value"),
+                    F.col("n_dtype").alias("new_value"),
+                    F.lit("hard").alias("severity"))),
+            F.when(
+                F.col("o_column").isNotNull() & F.col("n_column").isNotNull()
+                & (F.abs(n_rate - o_rate) > F.lit(null_rate_tol)),
+                F.struct(
+                    F.lit("null_rate_shift").alias("kind"),
+                    F.format_number(o_rate, 6).alias("old_value"),
+                    F.format_number(n_rate, 6).alias("new_value"),
+                    F.lit("info").alias("severity"))),
+            F.when(
+                F.col("o_min_num").isNotNull() & F.col("n_min_num").isNotNull()
+                & ((F.col("n_min_num") < F.col("o_min_num"))
+                   | (F.col("n_max_num") > F.col("o_max_num"))),
+                F.struct(
+                    F.lit("bounds_escape").alias("kind"),
+                    F.concat(F.lit("["), F.col("o_min_num").cast("string"),
+                             F.lit(", "), F.col("o_max_num").cast("string"),
+                             F.lit("]")).alias("old_value"),
+                    F.concat(F.lit("["), F.col("n_min_num").cast("string"),
+                             F.lit(", "), F.col("n_max_num").cast("string"),
+                             F.lit("]")).alias("new_value"),
+                    F.lit("info").alias("severity"))),
+            F.when(
+                F.col("o_column").isNotNull() & F.col("n_column").isNotNull()
+                & (o_nn > 0) & (n_nn > 0)
+                & (dens_ratio > F.lit(density_ratio_tol)),
+                F.struct(
+                    F.lit("distinct_density_shift").alias("kind"),
+                    F.format_number(o_dens, 6).alias("old_value"),
+                    F.format_number(n_dens, 6).alias("new_value"),
+                    F.lit("info").alias("severity"))),
+        )).alias("cs"),
+    ).select("column", F.explode("cs").alias("c")).select(
+        "column", "c.kind", "c.old_value", "c.new_value", "c.severity")
+
+    # row-count swing: one synthetic '*' row from the snapshot heads
+    o_rows = old.select(F.max("n_rows")).collect()
+    n_rows = new.select(F.max("n_rows")).collect()
+    o_cnt = o_rows[0][0] if o_rows and o_rows[0][0] is not None else 0
+    n_cnt = n_rows[0][0] if n_rows and n_rows[0][0] is not None else 0
+    spark = old.sparkSession
+    extra = []
+    hi, lo = max(o_cnt, n_cnt), min(o_cnt, n_cnt)
+    if o_cnt and n_cnt and hi / lo > row_ratio_tol:
+        extra.append(("*", "row_count_shift", str(o_cnt), str(n_cnt), "info"))
+    extra_df = spark.createDataFrame(extra, DIFF_SCHEMA)
+    return changes.unionByName(extra_df).orderBy("column", "kind")

@@ -1,0 +1,232 @@
+"""Constraint suggestion + snapshot diff (operators/suggest.py).
+
+The reference fits thresholds but never emits reusable constraints;
+suggest_checks is the Deequ-style profile-to-constraints loop. Tests
+pin:
+
+* the suggestion set + parameters against a DuckDB oracle computing the
+  same stats EXACTLY (null counts, domains, min/max) on the same
+  parquet;
+* the loop property: every suggested check passes on the data it was
+  suggested from, and catches a targeted corruption of each kind;
+* ValidationSuite integration (suggested checks ride the marking scan
+  and produce verdicts);
+* the pass-2 guard: a domain that exceeds domain_max loses its isin
+  suggestion instead of collecting unbounded values;
+* snapshot determinism across parallelism and snapshot_diff's change
+  taxonomy against a hand-built expectation.
+"""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+import pytest
+from pyspark.sql import Row, functions as F
+
+from autoprepad_spark.operators.suggest import (
+    SuggestConfig,
+    column_profile,
+    snapshot_diff,
+    suggest_checks,
+    to_custom_checks,
+)
+
+
+@pytest.fixture(scope="module")
+def frame_path(spark, tmp_path_factory):
+    rows = []
+    for i in range(1200):
+        rows.append(Row(
+            id=f"doc-{i:06d}",                       # unique, no nulls
+            source=["web", "book", "code", "wiki", "chat"][i % 5],
+            label=["a'b", "c", "d"][i % 3],          # quote-escaping domain
+            grade=None if i % 10 == 7 else (i % 3) + 1,
+            score=(i % 600) * 0.5 - 25.0,            # 600 distinct, negatives
+            wide=f"v-{i % 20:04d}",                  # 20 distinct: gated in,
+                                                     # over domain_max=16
+            ghost=None,                              # all-null string column
+            free=f"text {i * 2654435761 % 2**32}",   # high cardinality
+        ))
+    p = str(tmp_path_factory.mktemp("suggest") / "frame.parquet")
+    spark.createDataFrame(
+        rows,
+        schema="id string, source string, label string, grade int, "
+               "score double, wide string, ghost string, free string",
+    ).repartition(8).write.mode("overwrite").parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def frame(spark, frame_path):
+    return spark.read.parquet(frame_path)
+
+
+@pytest.fixture(scope="module")
+def suggestions(frame):
+    return suggest_checks(
+        frame, config=SuggestConfig(domain_max=16, domain_slack=2.0)
+    ).collect()
+
+
+def _by(suggestions, column, kind):
+    hits = [s for s in suggestions if s["column"] == column and s["kind"] == kind]
+    return hits[0] if hits else None
+
+
+def test_suggestions_vs_duckdb(frame_path, suggestions):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{frame_path}/*.parquet')")
+    stats = {}
+    for c in ["id", "source", "label", "grade", "score", "wide", "ghost", "free"]:
+        n, nn, d = con.execute(
+            f'SELECT count(*), count("{c}"), count(DISTINCT "{c}") FROM t'
+        ).fetchone()
+        stats[c] = (n, nn, d)
+
+    # not_null exactly for the zero-null columns
+    expect_not_null = {c for c, (n, nn, _) in stats.items() if n == nn}
+    got_not_null = {s["column"] for s in suggestions if s["kind"] == "not_null"}
+    assert got_not_null == expect_not_null == {"id", "source", "label",
+                                              "score", "wide", "free"}
+
+    # null_rate_max for the nullable ones, ceiling = rate * 1.5
+    for c in ["grade", "ghost"]:
+        s = _by(suggestions, c, "null_rate_max")
+        n, nn, _ = stats[c]
+        want = min(1.0, (n - nn) / n * 1.5)
+        assert abs(json.loads(s["params"])["max_rate"] - want) < 1e-9
+
+    # unique: id only (free is also unique by construction — allow it)
+    uniq = {s["column"] for s in suggestions if s["kind"] == "unique"}
+    assert "id" in uniq and "free" in uniq
+    assert not uniq & {"source", "label", "grade", "score", "wide", "ghost"}
+
+    # isin domains match DuckDB exactly (sorted), including quote escape
+    for c in ["source", "label", "grade"]:
+        s = _by(suggestions, c, "isin")
+        dom = [r[0] for r in con.execute(
+            f'SELECT DISTINCT CAST("{c}" AS VARCHAR) FROM t '
+            f'WHERE "{c}" IS NOT NULL ORDER BY 1').fetchall()]
+        assert s is not None, c
+        assert s["evidence"] == "domain=[" + ", ".join(dom) + "]"
+        assert json.loads(s["params"])["domain_size"] == len(dom)
+    # wide has 20 > domain_max=16 distinct: gated into pass 2 by the
+    # estimate, rejected by the exact cap
+    assert _by(suggestions, "wide", "isin") is None
+    assert _by(suggestions, "free", "isin") is None
+    assert _by(suggestions, "ghost", "isin") is None
+
+    # numeric range/non_negative from exact min/max
+    gmin, gmax = con.execute("SELECT min(grade), max(grade) FROM t").fetchone()
+    smin, smax = con.execute("SELECT min(score), max(score) FROM t").fetchone()
+    g = json.loads(_by(suggestions, "grade", "range")["params"])
+    assert (g["min"], g["max"]) == (gmin, gmax)
+    sc = json.loads(_by(suggestions, "score", "range")["params"])
+    assert (sc["min"], sc["max"]) == (smin, smax)
+    assert _by(suggestions, "grade", "non_negative") is not None
+    assert _by(suggestions, "score", "non_negative") is None  # has negatives
+
+
+def test_suggested_checks_hold_then_catch(spark, frame, suggestions):
+    checks = to_custom_checks(suggestions)
+    assert checks, "no compilable checks"
+    # the loop property, per verdict rule: HARD checks have zero
+    # violations on their source data; SOFT (statistical) checks stay
+    # under the ceiling the suggestion itself proposed
+    n = frame.count()
+    flags = dict(zip(
+        [c.name for c in checks],
+        frame.select(*[c.flag_col().alias(c.name) for c in checks])
+        .groupBy().sum().collect()[0]))
+    ceilings = {f"sugg_{s['kind']}_{s['column']}":
+                json.loads(s["params"]).get("max_rate")
+                for s in suggestions}
+    for c in checks:
+        if c.hard:
+            assert flags[c.name] == 0, (c.name, flags[c.name])
+        elif ceilings.get(c.name) is not None:
+            assert flags[c.name] / n <= ceilings[c.name], c.name
+
+    # one corruption per kind is caught by the matching check
+    bad = spark.createDataFrame(
+        [Row(id=None, source="zzz", label="x", grade=-7, score=1e9,
+             wide="v-0001", ghost=None, free="t")],
+        schema=frame.schema)
+    bflags = {c.name: v for c, v in zip(
+        checks,
+        bad.select(*[c.flag_col().alias(c.name) for c in checks])
+        .collect()[0])}
+    assert bflags["sugg_not_null_id"] == 1
+    assert bflags["sugg_isin_source"] == 1
+    assert bflags["sugg_isin_grade"] == 1
+    assert bflags["sugg_non_negative_grade"] == 1
+    assert bflags["sugg_range_score"] == 1
+
+
+def test_suite_integration(spark, tokens_df, dim_df):
+    """Suggest on the token table's light columns, run the suite with
+    the compiled checks: suggestions hold, so every sugg_* verdict
+    passes; the statistical `range` check is soft by construction."""
+    from autoprepad_spark import ValidationSuite
+
+    sugg = suggest_checks(tokens_df, cols=["source", "n_tok"])
+    checks = to_custom_checks(sugg)
+    res = ValidationSuite(custom_checks=checks).run(tokens_df, dim=dim_df)
+    v = res.verdicts.filter(F.col("check_name").startswith("sugg_"))
+    rows = v.collect()
+    assert rows and all(r["status"] == "pass" for r in rows)
+    names = {r["check_name"] for r in rows}
+    assert "sugg_isin_source" in names
+    res.unpersist()
+
+
+def test_snapshot_parallelism_independent(spark, frame):
+    a = column_profile(frame.repartition(2)).collect()
+    b = column_profile(frame.repartition(13)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_profile_from_precomputed_snapshot(frame):
+    prof = column_profile(frame)
+    direct = suggest_checks(frame).collect()
+    via = suggest_checks(frame, profile=prof).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via))
+
+
+def test_snapshot_diff_taxonomy(spark):
+    old_rows = [Row(k=f"k{i}", gone=1.0 * i, typed=i, num=float(i % 50),
+                    nullable="x" if i % 100 else None)
+                for i in range(1000)]
+    # new: `gone` dropped, `added` new, `typed` int->string, `num` escapes
+    # bounds, `nullable` null rate jumps 0.01 -> 0.2, rows 3x
+    new_rows = [Row(k=f"k{i % 400}", typed=str(i), num=float(i % 80) - 5.0,
+                    nullable="x" if i % 5 else None, added=i)
+                for i in range(3000)]
+    old = column_profile(spark.createDataFrame(
+        old_rows,
+        schema="k string, gone double, typed int, num double, nullable string"))
+    new = column_profile(spark.createDataFrame(
+        new_rows,
+        schema="k string, typed string, num double, nullable string, added int"))
+    d = snapshot_diff(old, new)
+    got = {(r["column"], r["kind"]) for r in d.collect()}
+    assert ("gone", "column_removed") in got
+    assert ("added", "column_added") in got
+    assert ("typed", "type_changed") in got
+    assert ("num", "bounds_escape") in got
+    assert ("nullable", "null_rate_shift") in got
+    assert ("*", "row_count_shift") in got
+    # k: 1000 unique of 1000 -> 400 unique of 3000 = density 1.0 -> 0.133
+    assert ("k", "distinct_density_shift") in got
+    # no spurious kinds for unchanged-distribution columns
+    assert not [k for k in got if k[0] == "num" and k[1] not in
+                ("bounds_escape",)]
+
+
+def test_snapshot_diff_identity(frame):
+    prof = column_profile(frame)
+    d = snapshot_diff(prof, prof).collect()
+    assert d == []
