@@ -286,6 +286,103 @@ def to_custom_checks(
 
 
 # ---------------------------------------------------------------------------
+# approximate functional dependencies
+# ---------------------------------------------------------------------------
+
+#: schema of suggest_fds output
+FD_SCHEMA = T.StructType([
+    T.StructField("determinant", T.StringType(), False),
+    T.StructField("dependent", T.StringType(), False),
+    T.StructField("n_groups", T.LongType(), False),
+    T.StructField("violating_groups", T.LongType(), False),
+    T.StructField("fd_rate", T.DoubleType(), False),
+    T.StructField("holds", T.BooleanType(), False),
+])
+
+
+def suggest_fds(
+    df: DataFrame,
+    pairs: list[tuple[str, str]] | None = None,
+    *,
+    max_violation_rate: float = 0.0,
+    max_determinant_distinct: int = 1_000_000,
+    profile: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate functional-dependency discovery: does A determine B?
+
+    A pair (A, B) HOLDS when every non-null A-value maps to exactly one
+    distinct B-value; `fd_rate` is the fraction of A-groups with >1
+    distinct B (0.0 = exact FD), and `holds` is fd_rate <=
+    max_violation_rate. Discovered FDs are validation material: a later
+    snapshot where `source_id -> source_name` breaks usually means a
+    bad join or a corrupted dimension upstream.
+
+    Plan: all candidate pairs melt into ONE (pair, a, b) frame computed
+    in a single scan, so every pair is measured simultaneously — never a
+    per-pair scan. The aggregation cascade (verified via explain) has
+    exactly one row-scale exchange: map-side partial-dedup on
+    (pair, a, b) bounds what it carries at the distinct-combination
+    count; the (pair, a) distinct-b count and the |pairs|-row final
+    roll-up shuffle strictly shrinking frames that AQE coalesces — the
+    same cascade shape as the engine's uniqueness check. Columns whose
+    profile estimates more
+    distinct values than `max_determinant_distinct` are skipped as
+    determinants: an FD keyed on a near-unique column is vacuous AND its
+    group count approaches the row count.
+
+    pairs=None tries every ordered pair of profilable columns —
+    quadratic in |cols|, fine for the tens-of-columns tables this
+    engine validates; pass explicit pairs beyond that.
+    """
+    spark = df.sparkSession
+    pcols = [c for c, _ in _profilable(df, None)]
+    if pairs is None:
+        prof = profile if profile is not None else column_profile(df)
+        est = {r["column"]: r["distinct_est"] for r in prof.collect()}
+        dets = [c for c in pcols if est.get(c, 0) <= max_determinant_distinct]
+        pairs = [(a, b) for a in dets for b in pcols if a != b]
+    else:
+        for a, b in pairs:
+            if a not in df.columns or b not in df.columns:
+                raise ValueError(f"FD pair references missing column: ({a}, {b})")
+    if not pairs:
+        return spark.createDataFrame([], FD_SCHEMA)
+
+    melted = df.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(a).alias("det"),
+                F.lit(b).alias("dep"),
+                F.col(a).cast("string").alias("a"),
+                F.col(b).cast("string").alias("b"),
+            )
+            for a, b in pairs
+        ])).alias("kv")
+    ).select("kv.det", "kv.dep", "kv.a", "kv.b").filter(F.col("a").isNotNull())
+
+    # null dependents don't violate (count_distinct skips nulls; the
+    # completeness checks own the null question)
+    per_group = (
+        melted.groupBy("det", "dep", "a")
+        .agg(F.count_distinct("b").alias("nb"))
+    )
+    rolled = per_group.groupBy("det", "dep").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("nb") > 1).cast("long")).alias("violating_groups"),
+    )
+    rate = F.col("violating_groups") / F.greatest(F.col("n_groups"), F.lit(1))
+    out = rolled.select(
+        F.col("det").alias("determinant"),
+        F.col("dep").alias("dependent"),
+        "n_groups",
+        "violating_groups",
+        rate.cast("double").alias("fd_rate"),
+        (rate <= F.lit(max_violation_rate)).alias("holds"),
+    )
+    return out.orderBy("determinant", "dependent")
+
+
+# ---------------------------------------------------------------------------
 # snapshot diff
 # ---------------------------------------------------------------------------
 

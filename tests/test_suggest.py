@@ -183,6 +183,49 @@ def test_suite_integration(spark, tokens_df, dim_df):
     res.unpersist()
 
 
+def test_fd_discovery_vs_duckdb(spark, frame_path, frame):
+    from autoprepad_spark.operators.suggest import suggest_fds
+
+    got = {(r["determinant"], r["dependent"]):
+           (r["n_groups"], r["violating_groups"], r["holds"])
+           for r in suggest_fds(
+               frame, max_determinant_distinct=700).collect()}
+    # id is near-unique (excluded as determinant by the distinct cap);
+    # ghost is all-null (no groups once null determinants drop)
+    assert not [k for k in got if k[0] in ("id", "free")]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW t AS SELECT * FROM read_parquet('{frame_path}/*.parquet')")
+    for (a, b), (n_groups, viol, holds) in got.items():
+        if a == "ghost":
+            continue
+        en, ev = con.execute(f'''
+            SELECT count(*), sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)
+            FROM (SELECT "{a}", count(DISTINCT "{b}") AS nb FROM t
+                  WHERE "{a}" IS NOT NULL GROUP BY 1)''').fetchone()
+        assert (n_groups, viol) == (en, int(ev)), (a, b)
+        assert holds == (viol == 0)
+    # structural spot checks: i%5 source determines nothing about
+    # i%3 label (gcd 1 -> every source sees all labels), while every
+    # column trivially determines the all-null ghost (nb = 0 groups)
+    assert got[("source", "label")][2] is False
+    assert got[("source", "ghost")][2] is True
+    # grade (i%3 over non-null rows) maps 1:1 onto label (i%3)? No:
+    # grade nulls at i%10==7 but label still cycles -> grade g sees
+    # label values from all i with i%3==g-1 -> exactly one label value.
+    assert got[("grade", "label")] == (3, 0, True)
+
+
+def test_fd_explicit_pairs_and_errors(spark, frame):
+    from autoprepad_spark.operators.suggest import suggest_fds
+
+    rows = suggest_fds(frame, pairs=[("source", "label")]).collect()
+    assert len(rows) == 1 and rows[0]["determinant"] == "source"
+    with pytest.raises(ValueError, match="missing column"):
+        suggest_fds(frame, pairs=[("source", "nope")])
+
+
 def test_snapshot_parallelism_independent(spark, frame):
     a = column_profile(frame.repartition(2)).collect()
     b = column_profile(frame.repartition(13)).collect()
