@@ -52,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
              "--check 'ctx_overflow=n_tok > 8192' "
              "--check '~pad=try_element_at(tokens, 1) = 0'",
     )
+    ap.add_argument(
+        "--checks-from", default=None, metavar="PATH",
+        help="parquet of suggestion rows (operators/suggest.py "
+             "SUGGESTION_SCHEMA, e.g. a persisted suggest_checks output); "
+             "compiled into CustomChecks and merged with --check specs — "
+             "the profile-once / validate-forever loop",
+    )
     args = ap.parse_args(argv)
 
     from autoprepad_spark.session import get_spark
@@ -75,6 +82,11 @@ def main(argv: list[str] | None = None) -> int:
         if "/" in ref or ref.endswith(".parquet"):
             return spark.read.parquet(ref)
         return spark.read.table(ref)
+
+    if args.checks_from:
+        from autoprepad_spark.operators.suggest import to_custom_checks
+
+        custom.extend(to_custom_checks(load(args.checks_from)))
 
     df = load(args.input)
     dim = load(args.dim) if args.dim else None

@@ -226,6 +226,35 @@ def test_fd_explicit_pairs_and_errors(spark, frame):
         suggest_fds(frame, pairs=[("source", "nope")])
 
 
+def test_runner_checks_from_persisted_suggestions(
+        spark, tokens_df, dim_df, tmp_path):
+    """The production loop: suggest once, persist the suggestion frame,
+    later runs load it via --checks-from and validate forever after."""
+    from autoprepad_spark import runner
+
+    tok = str(tmp_path / "tok.parquet")
+    dim = str(tmp_path / "dim.parquet")
+    sugg = str(tmp_path / "sugg.parquet")
+    out = str(tmp_path / "out")
+    tokens_df.write.parquet(tok)
+    dim_df.write.parquet(dim)
+    suggest_checks(tokens_df, cols=["source", "n_tok"]).write.parquet(sugg)
+
+    rc = runner.main([
+        "--input", tok, "--dim", dim, "--output", out,
+        "--run-id", "sugg-run", "--checks-from", sugg,
+    ])
+    # rc=2: the generated table carries INJECTED violations that the
+    # built-in checks rightly fail on; the suggested checks must pass
+    assert rc == 2
+    v = spark.read.parquet(out + "/verdicts").filter(
+        F.col("check_name").startswith("sugg_"))
+    rows = v.collect()
+    assert rows and all(r["status"] == "pass" for r in rows)
+    assert {r["check_name"] for r in rows} >= {"sugg_isin_source",
+                                               "sugg_not_null_source"}
+
+
 def test_snapshot_parallelism_independent(spark, frame):
     a = column_profile(frame.repartition(2)).collect()
     b = column_profile(frame.repartition(13)).collect()
