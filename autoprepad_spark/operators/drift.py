@@ -272,3 +272,90 @@ def drift(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# metric-history anomaly flags (run-over-run regression detection)
+# ---------------------------------------------------------------------------
+
+
+def history_flags(
+    history: DataFrame,
+    value_col: str,
+    *,
+    key_cols: tuple[str, ...] = ("part", "check_name"),
+    order_col: str = "run_seq",
+    threshold: float = 3.5,
+    min_history: int = 3,
+) -> DataFrame:
+    """Modified-Z anomaly flags for a metric time series against its own
+    TRAILING history — run-over-run regression detection over the
+    engine's verdict/lineage artifacts (the metrics-anomaly capability
+    Deequ pairs with its checks; the reference has per-run CSV metrics,
+    experiment.py:494-502, but nothing that reads them back).
+
+    For each key (default: a partition x check series) rows are ordered
+    by `order_col` and every row is judged against the rows STRICTLY
+    BEFORE it: med = median(prior), MAD = median(|prior - med|),
+    mod_z = 0.6745 * |x - med| / MAD (the marking pass's F6 constants).
+    `flagged` when mod_z > threshold and at least `min_history` prior
+    points exist. A zero-MAD history (constant so far) flags ANY
+    deviation — a violation count that has been 0 for thirty runs and
+    jumps to 5 is precisely the alarm this exists for. Strictly-prior
+    framing means a regression never contaminates the baseline that
+    judges it, and re-scoring the full history is idempotent.
+
+    Scale: the input is a METRICS frame (runs x partitions x checks —
+    kilobytes per run, already reduced from the 10^12-row table by the
+    suite), grouped per key; each pandas group holds one key's run
+    history. The O(h^2) trailing medians are over h = runs-per-key,
+    hundreds at most.
+    """
+    from autoprepad_spark.operators.marking import MAD_SCALE
+
+    keys = list(key_cols)
+    out_schema = T.StructType(
+        history.schema.fields
+        + [
+            T.StructField("n_history", T.IntegerType(), False),
+            T.StructField("trailing_median", T.DoubleType(), True),
+            T.StructField("trailing_mad", T.DoubleType(), True),
+            T.StructField("mod_z", T.DoubleType(), True),
+            T.StructField("flagged", T.BooleanType(), False),
+        ]
+    )
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        vals = pdf[value_col].astype(float).to_numpy()
+        n = len(vals)
+        med = np.full(n, np.nan)
+        mad = np.full(n, np.nan)
+        z = np.full(n, np.nan)
+        flag = np.zeros(n, dtype=bool)
+        n_hist = np.zeros(n, dtype="int32")
+        for i in range(1, n):
+            prior = vals[:i]
+            prior = prior[~np.isnan(prior)]
+            n_hist[i] = len(prior)
+            if len(prior) == 0:
+                continue
+            m = float(np.median(prior))
+            d = float(np.median(np.abs(prior - m)))
+            med[i], mad[i] = m, d
+            x = vals[i]
+            if np.isnan(x):
+                continue
+            if d > 0:
+                z[i] = MAD_SCALE * abs(x - m) / d
+            else:
+                z[i] = 0.0 if x == m else float("inf")
+            flag[i] = len(prior) >= min_history and z[i] > threshold
+        pdf["n_history"] = n_hist
+        pdf["trailing_median"] = med
+        pdf["trailing_mad"] = mad
+        pdf["mod_z"] = z
+        pdf["flagged"] = flag
+        return pdf
+
+    return history.groupBy(*keys).applyInPandas(score, out_schema)

@@ -293,11 +293,17 @@ def to_custom_checks(
 FD_SCHEMA = T.StructType([
     T.StructField("determinant", T.StringType(), False),
     T.StructField("dependent", T.StringType(), False),
-    T.StructField("n_groups", T.LongType(), False),
-    T.StructField("violating_groups", T.LongType(), False),
-    T.StructField("fd_rate", T.DoubleType(), False),
+    T.StructField("n_groups", T.LongType(), True),
+    T.StructField("violating_groups", T.LongType(), True),
+    T.StructField("fd_rate", T.DoubleType(), True),
     T.StructField("holds", T.BooleanType(), False),
+    T.StructField("checked", T.BooleanType(), False),
 ])
+
+#: safety factor over the HLL++ rsd (2%) for the cardinality-pruning
+#: inequality — wide enough that estimate noise can't prune a pair the
+#: exact check would accept
+_FD_PRUNE_SLACK = 1.1
 
 
 def suggest_fds(
@@ -330,15 +336,28 @@ def suggest_fds(
     determinants: an FD keyed on a near-unique column is vacuous AND its
     group count approaches the row count.
 
+    Cardinality pruning (`checked` = false rows): an exact FD A -> B
+    forces distinct(B) <= distinct(A) (each A-group contributes one B
+    value), so when max_violation_rate == 0 any pair whose dependent
+    estimate exceeds the determinant estimate (x a slack covering the
+    2% rsd) is settled as holds=false FROM THE PROFILE ALONE — no data
+    pass, no melt rows, no dedup hash-map entries. This is what keeps
+    the operator viable at corpus scale: without it a near-unique
+    dependent (a doc_id column, say) drags O(rows) distinct
+    (pair, a, b) combinations through the exchange for a pair that
+    provably cannot hold. The argument is only valid at rate 0 —
+    with a violation tolerance, violating groups may carry unboundedly
+    many B values — so a nonzero max_violation_rate disables it.
+
     pairs=None tries every ordered pair of profilable columns —
     quadratic in |cols|, fine for the tens-of-columns tables this
     engine validates; pass explicit pairs beyond that.
     """
     spark = df.sparkSession
     pcols = [c for c, _ in _profilable(df, None)]
+    prof = profile if profile is not None else column_profile(df)
+    est = {r["column"]: r["distinct_est"] for r in prof.collect()}
     if pairs is None:
-        prof = profile if profile is not None else column_profile(df)
-        est = {r["column"]: r["distinct_est"] for r in prof.collect()}
         dets = [c for c in pcols if est.get(c, 0) <= max_determinant_distinct]
         pairs = [(a, b) for a in dets for b in pcols if a != b]
     else:
@@ -347,6 +366,22 @@ def suggest_fds(
                 raise ValueError(f"FD pair references missing column: ({a}, {b})")
     if not pairs:
         return spark.createDataFrame([], FD_SCHEMA)
+
+    pruned: list[tuple[str, str]] = []
+    if max_violation_rate == 0:
+        live = []
+        for a, b in pairs:
+            if (a in est and b in est
+                    and est[b] > est[a] * _FD_PRUNE_SLACK):
+                pruned.append((a, b))
+            else:
+                live.append((a, b))
+        pairs = live
+    pruned_df = spark.createDataFrame(
+        [(a, b, None, None, None, False, False) for a, b in pruned],
+        FD_SCHEMA)
+    if not pairs:
+        return pruned_df.orderBy("determinant", "dependent")
 
     melted = df.select(
         F.explode(F.array(*[
@@ -378,8 +413,9 @@ def suggest_fds(
         "violating_groups",
         rate.cast("double").alias("fd_rate"),
         (rate <= F.lit(max_violation_rate)).alias("holds"),
+        F.lit(True).alias("checked"),
     )
-    return out.orderBy("determinant", "dependent")
+    return out.unionByName(pruned_df).orderBy("determinant", "dependent")
 
 
 # ---------------------------------------------------------------------------

@@ -187,7 +187,7 @@ def test_fd_discovery_vs_duckdb(spark, frame_path, frame):
     from autoprepad_spark.operators.suggest import suggest_fds
 
     got = {(r["determinant"], r["dependent"]):
-           (r["n_groups"], r["violating_groups"], r["holds"])
+           (r["n_groups"], r["violating_groups"], r["holds"], r["checked"])
            for r in suggest_fds(
                frame, max_determinant_distinct=700).collect()}
     # id is near-unique (excluded as determinant by the distinct cap);
@@ -197,15 +197,24 @@ def test_fd_discovery_vs_duckdb(spark, frame_path, frame):
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW t AS SELECT * FROM read_parquet('{frame_path}/*.parquet')")
-    for (a, b), (n_groups, viol, holds) in got.items():
+    for (a, b), (n_groups, viol, holds, checked) in got.items():
         if a == "ghost":
             continue
         en, ev = con.execute(f'''
             SELECT count(*), sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)
             FROM (SELECT "{a}", count(DISTINCT "{b}") AS nb FROM t
                   WHERE "{a}" IS NOT NULL GROUP BY 1)''').fetchone()
-        assert (n_groups, viol) == (en, int(ev)), (a, b)
-        assert holds == (viol == 0)
+        if checked:
+            assert (n_groups, viol) == (en, int(ev)), (a, b)
+            assert holds == (viol == 0)
+        else:
+            # cardinality-pruned from the profile alone: the exact
+            # check must agree the FD cannot hold
+            assert (n_groups, viol, holds) == (None, None, False), (a, b)
+            assert int(ev) > 0, (a, b)
+    # the large-dependent pairs are settled without a data pass
+    assert got[("source", "id")][3] is False
+    assert got[("grade", "score")][3] is False
     # structural spot checks: i%5 source determines nothing about
     # i%3 label (gcd 1 -> every source sees all labels), while every
     # column trivially determines the all-null ghost (nb = 0 groups)
@@ -214,7 +223,7 @@ def test_fd_discovery_vs_duckdb(spark, frame_path, frame):
     # grade (i%3 over non-null rows) maps 1:1 onto label (i%3)? No:
     # grade nulls at i%10==7 but label still cycles -> grade g sees
     # label values from all i with i%3==g-1 -> exactly one label value.
-    assert got[("grade", "label")] == (3, 0, True)
+    assert got[("grade", "label")] == (3, 0, True, True)
 
 
 def test_fd_explicit_pairs_and_errors(spark, frame):
@@ -224,6 +233,12 @@ def test_fd_explicit_pairs_and_errors(spark, frame):
     assert len(rows) == 1 and rows[0]["determinant"] == "source"
     with pytest.raises(ValueError, match="missing column"):
         suggest_fds(frame, pairs=[("source", "nope")])
+    # a violation tolerance disables cardinality pruning (the
+    # distinct(B) <= distinct(A) argument only binds at rate 0), so the
+    # large-dependent pair gets a real measured rate
+    r = suggest_fds(frame, pairs=[("source", "id")],
+                    max_violation_rate=0.5).collect()[0]
+    assert r["checked"] is True and r["fd_rate"] == 1.0 and r["holds"] is False
 
 
 def test_runner_checks_from_persisted_suggestions(

@@ -80,8 +80,11 @@ def run_worker(cores: int, rows: int) -> None:
     sugg_rows = sorted(tuple(r) for r in sugg.collect())
     suggest_s = time.monotonic() - t0
 
+    # det cap 2000 admits qty (1000 groups) as a determinant — real
+    # melt work — while cardinality pruning settles every pair with a
+    # near-unique dependent (key, amount) from the profile alone
     t0 = time.monotonic()
-    fds = SG.suggest_fds(df, profile=prof, max_determinant_distinct=100)
+    fds = SG.suggest_fds(df, profile=prof, max_determinant_distinct=2000)
     fd_rows = sorted(tuple(r) for r in fds.collect())
     fd_s = time.monotonic() - t0
 
