@@ -59,7 +59,17 @@ def main(argv: list[str] | None = None) -> int:
              "compiled into CustomChecks and merged with --check specs — "
              "the profile-once / validate-forever loop",
     )
+    ap.add_argument(
+        "--sample", type=float, default=None, metavar="FRACTION",
+        help="smoke-validate a deterministic doc_id-hash sample of the "
+             "input (scan-level predicate, no shuffle; same docs at any "
+             "parallelism and on reruns). Statistical verdicts then apply "
+             "to the sample; hard checks still fail on any sampled "
+             "violation. Uniqueness/row counts are sample-scoped.",
+    )
     args = ap.parse_args(argv)
+    if args.sample is not None and not (0.0 < args.sample <= 1.0):
+        ap.error(f"--sample must be in (0, 1], got {args.sample}")
 
     from autoprepad_spark.session import get_spark
     from autoprepad_spark.plans.suite import CustomCheck, ValidationSuite
@@ -89,6 +99,10 @@ def main(argv: list[str] | None = None) -> int:
         custom.extend(to_custom_checks(load(args.checks_from)))
 
     df = load(args.input)
+    if args.sample is not None and args.sample < 1.0:
+        from autoprepad_spark.operators.sampling import deterministic_sample
+
+        df = deterministic_sample(df, args.sample, salt=f"smoke:{args.run_id}")
     dim = load(args.dim) if args.dim else None
     baseline = load(args.baseline_hist) if args.baseline_hist else None
     ck = CheckpointTable(spark, args.checkpoint) if args.checkpoint else None

@@ -136,3 +136,34 @@ def test_checkpoint_table_loop(spark, tmp_path):
     got = history_flags(hist, "n_violations", key_cols=("part",)).collect()
     flagged = {(r["part"], r["run_seq"]) for r in got if r["flagged"]}
     assert flagged == {("p-000", 6)}
+
+
+def test_runner_sample_smoke(spark, tokens_df, dim_df, tmp_path):
+    """--sample validates a deterministic hash-sample: row counts shrink
+    to ~fraction, the sampled doc set is reproducible for the same
+    run-id, and verdict assembly still covers every check."""
+    from pyspark.sql import functions as F
+
+    from autoprepad_spark import runner
+
+    tok = str(tmp_path / "tok.parquet")
+    dim = str(tmp_path / "dim.parquet")
+    tokens_df.write.parquet(tok)
+    dim_df.write.parquet(dim)
+
+    outs = []
+    for i, out in enumerate(["o1", "o2"]):
+        runner.main([
+            "--input", tok, "--dim", dim,
+            "--output", str(tmp_path / out),
+            "--run-id", "smoke-1", "--sample", "0.1",
+        ])
+        v = spark.read.parquet(str(tmp_path / out / "verdicts"))
+        outs.append(sorted(map(tuple, v.collect())))
+    # reproducible: identical verdicts (counts included) across reruns
+    assert outs[0] == outs[1]
+    total = sum(r["row_count"] for r in spark.read.parquet(
+        str(tmp_path / "o1" / "verdicts"))
+        .groupBy("part").agg(F.max("row_count").alias("row_count")).collect())
+    n = tokens_df.count()
+    assert 0.07 * n < total < 0.13 * n  # ~10% sample
