@@ -79,6 +79,10 @@ class CustomCheck:
                rule). False: statistical rule — the partition passes
                while the violation RATE stays <= the suite's
                stat_max_rate.
+    stat_max_rate  optional per-check ceiling for the statistical rule,
+               overriding the suite-global value for THIS check only
+               (e.g. a suggested null-rate ceiling derived from the
+               observed rate). Ignored when hard=True.
 
     Predicates evaluate JVM-side (whole-stage codegen) regardless of
     the suite's marking engine, so arrow and native runs produce
@@ -89,6 +93,7 @@ class CustomCheck:
     predicate: Column | str
     detail: Column | str | None = None
     hard: bool = True
+    stat_max_rate: float | None = None
 
     def flag_col(self) -> Column:
         p = (

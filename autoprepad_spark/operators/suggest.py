@@ -36,6 +36,10 @@ question answered from two kilobyte-scale artifacts, no rescan.
 
 from __future__ import annotations
 
+import json
+import math
+import re
+
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window, functions as F, types as T
@@ -136,9 +140,19 @@ SUGGESTION_SCHEMA = T.StructType([
 ])
 
 
-def _sql_literal(v: str, dtype: str) -> str:
+def _sql_literal(v: str, dtype: str) -> str | None:
+    """SQL literal for a stringified domain value, or None when the
+    value has no parseable literal form (NaN/Infinity in a float
+    domain)."""
     if dtype in ("string", "date", "timestamp"):
         return "'" + v.replace("'", "''") + "'"
+    if dtype == "boolean":
+        return v
+    try:
+        if not math.isfinite(float(v)):
+            return None
+    except ValueError:
+        return None
     return v
 
 
@@ -215,7 +229,11 @@ def suggest_checks(
                         True))
         if nn > 0 and r["distinct_est"] <= config.domain_max * config.domain_slack:
             small.append(c)
-        if r["min_num"] is not None:
+        # NaN/inf min or max (possible for float columns — Spark sorts
+        # NaN greatest) make neither a valid SQL literal nor valid JSON:
+        # no bounds suggestions for such a column
+        if r["min_num"] is not None and math.isfinite(r["min_num"]) \
+                and math.isfinite(r["max_num"]):
             if r["min_num"] >= 0:
                 out.append((c, "non_negative", f"`{c}` < 0", "{}",
                             f"min={r['min_num']}", True))
@@ -251,6 +269,8 @@ def suggest_checks(
             if not dom or len(dom) > config.domain_max:
                 continue  # estimate lied past the cap, or all-null
             dom = sorted(dom)
+            if any(_sql_literal(v, stats[c]["dtype"]) is None for v in dom):
+                continue  # e.g. NaN in a small float domain: no SQL literal
             lits = ", ".join(_sql_literal(v, stats[c]["dtype"]) for v in dom)
             out.append((c, "isin",
                         f"`{c}` IS NOT NULL AND `{c}` NOT IN ({lits})",
@@ -270,17 +290,33 @@ def to_custom_checks(
 
     Rows without a row predicate (kind=unique — covered by the suite's
     exact uniqueness check) are skipped. Check names are
-    `{prefix}_{kind}_{column}`, stable across runs so checkpoint/resume
-    and verdict history line up run-over-run.
+    `{prefix}_{kind}_{column}` with non-identifier characters in the
+    column name mapped to '_' (the suite requires bare-identifier check
+    names; predicates keep the real name via backticks) — stable across
+    runs so checkpoint/resume and verdict history line up run-over-run.
+    A null_rate_max suggestion carries its own ceiling into
+    CustomCheck.stat_max_rate, so the compiled soft check is judged
+    against the SUGGESTED rate, not the suite-global default — the
+    hold property (every suggested check passes on its source data)
+    survives columns whose null rate exceeds the global ceiling.
     """
     rows = suggestions.collect() if isinstance(suggestions, DataFrame) else suggestions
     checks = []
+    seen: set[str] = set()
     for r in rows:
         if r["predicate_sql"] is None:
             continue
-        name = f"{prefix}_{r['kind']}_{r['column']}"
+        safe_col = re.sub(r"[^A-Za-z0-9_]", "_", r["column"])
+        name = f"{prefix}_{r['kind']}_{safe_col}"
+        while name in seen:  # two columns sanitizing to the same name
+            name += "_"
+        seen.add(name)
+        rate = None
+        if not r["hard"]:
+            rate = json.loads(r["params"]).get("max_rate")
         checks.append(CustomCheck(
             name=name, predicate=r["predicate_sql"], hard=bool(r["hard"]),
+            stat_max_rate=rate,
         ))
     return checks
 
@@ -345,9 +381,18 @@ def suggest_fds(
     the operator viable at corpus scale: without it a near-unique
     dependent (a doc_id column, say) drags O(rows) distinct
     (pair, a, b) combinations through the exchange for a pair that
-    provably cannot hold. The argument is only valid at rate 0 —
-    with a violation tolerance, violating groups may carry unboundedly
-    many B values — so a nonzero max_violation_rate disables it.
+    provably cannot hold. Two soundness conditions, both enforced: the
+    argument only binds at rate 0 (violating groups may carry
+    unboundedly many B values under a tolerance), and only when the
+    DETERMINANT has no nulls — the FD is evaluated over non-null-A rows
+    while the profile's distinct(B) is global, so B values living on
+    null-A rows could otherwise inflate the estimate past a
+    truly-holding pair.
+
+    The profile scan (when not supplied) is column-pruned to the
+    columns the call actually consults. Requested pairs whose
+    determinant has no non-null rows produce an explicit vacuous
+    verdict (n_groups=0, holds=true) rather than silently vanishing.
 
     pairs=None tries every ordered pair of profilable columns —
     quadratic in |cols|, fine for the tens-of-columns tables this
@@ -355,15 +400,22 @@ def suggest_fds(
     """
     spark = df.sparkSession
     pcols = [c for c, _ in _profilable(df, None)]
-    prof = profile if profile is not None else column_profile(df)
-    est = {r["column"]: r["distinct_est"] for r in prof.collect()}
-    if pairs is None:
-        dets = [c for c in pcols if est.get(c, 0) <= max_determinant_distinct]
-        pairs = [(a, b) for a in dets for b in pcols if a != b]
-    else:
+    if pairs is not None:
         for a, b in pairs:
             if a not in df.columns or b not in df.columns:
                 raise ValueError(f"FD pair references missing column: ({a}, {b})")
+    need_cols = (
+        pcols if pairs is None
+        else sorted({c for p in pairs for c in p if c in dict(
+            _profilable(df, None))})
+    )
+    prof = profile if profile is not None else column_profile(df, need_cols)
+    prof_rows = prof.collect()
+    est = {r["column"]: r["distinct_est"] for r in prof_rows}
+    nulls = {r["column"]: r["n_null"] for r in prof_rows}
+    if pairs is None:
+        dets = [c for c in pcols if est.get(c, 0) <= max_determinant_distinct]
+        pairs = [(a, b) for a in dets for b in pcols if a != b]
     if not pairs:
         return spark.createDataFrame([], FD_SCHEMA)
 
@@ -372,6 +424,7 @@ def suggest_fds(
         live = []
         for a, b in pairs:
             if (a in est and b in est
+                    and nulls.get(a, 1) == 0
                     and est[b] > est[a] * _FD_PRUNE_SLACK):
                 pruned.append((a, b))
             else:
@@ -404,6 +457,13 @@ def suggest_fds(
     rolled = per_group.groupBy("det", "dep").agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.sum((F.col("nb") > 1).cast("long")).alias("violating_groups"),
+    )
+    # a determinant with zero non-null rows contributes no melt rows —
+    # left-join the (tiny) pair list back so the pair still gets an
+    # explicit vacuous verdict instead of vanishing
+    pairs_df = spark.createDataFrame(pairs, ["det", "dep"])
+    rolled = pairs_df.join(F.broadcast(rolled), ["det", "dep"], "left").fillna(
+        {"n_groups": 0, "violating_groups": 0}
     )
     rate = F.col("violating_groups") / F.greatest(F.col("n_groups"), F.lit(1))
     out = rolled.select(
@@ -533,7 +593,9 @@ def snapshot_diff(
     spark = old.sparkSession
     extra = []
     hi, lo = max(o_cnt, n_cnt), min(o_cnt, n_cnt)
-    if o_cnt and n_cnt and hi / lo > row_ratio_tol:
+    # lo == 0 with hi > 0 (empty -> populated or the reverse) is the
+    # most extreme swing possible, not a case to stay silent on
+    if hi > 0 and (lo == 0 or hi / lo > row_ratio_tol):
         extra.append(("*", "row_count_shift", str(o_cnt), str(n_cnt), "info"))
     extra_df = spark.createDataFrame(extra, DIFF_SCHEMA)
     return changes.unionByName(extra_df).orderBy("column", "kind")

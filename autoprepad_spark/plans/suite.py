@@ -266,9 +266,15 @@ class ValidationSuite:
             if c in selected and (c != "ref_source" or dim is not None)
         ]
         hard = V.HARD_CHECKS | {c.name for c in custom if c.hard}
+        stat_rates = {
+            c.name: c.stat_max_rate
+            for c in custom
+            if not c.hard and c.stat_max_rate is not None
+        }
         verdicts = V.assemble_verdicts(
             row_counts, violations, check_names,
             stat_max_rate=self.stat_max_rate, hard_checks=hard,
+            stat_rates=stat_rates,
         )
 
         drift_df = None

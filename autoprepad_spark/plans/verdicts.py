@@ -114,6 +114,7 @@ def assemble_verdicts(
     *,
     stat_max_rate: float = STAT_MAX_RATE,
     hard_checks: set[str] | None = None,
+    stat_rates: dict[str, float] | None = None,
 ) -> DataFrame:
     """Densify (part x check) and compute pass/fail.
 
@@ -121,6 +122,9 @@ def assemble_verdicts(
     hard_checks: names judged by the any-violation-fails rule (default
     HARD_CHECKS); everything else uses the statistical rate rule. The
     suite extends the default set with hard CustomChecks.
+    stat_rates: per-check overrides of the statistical ceiling (from
+    CustomCheck.stat_max_rate) — a when-chain over a handful of names,
+    so the verdict expression stays pure codegen.
     """
     spark = row_counts.sparkSession
     checks = spark.createDataFrame([(c,) for c in check_names], ["check_name"])
@@ -133,9 +137,14 @@ def assemble_verdicts(
     )
     rate = F.col("violation_count") / F.greatest(F.col("row_count"), F.lit(1))
     is_hard = F.col("check_name").isin(*sorted(hard_checks or HARD_CHECKS))
+    ceiling = F.lit(stat_max_rate)
+    for name, r in sorted((stat_rates or {}).items()):
+        ceiling = F.when(F.col("check_name") == name, F.lit(float(r))).otherwise(
+            ceiling
+        )
     status = F.when(
         is_hard, F.when(F.col("violation_count") > 0, "fail").otherwise("pass")
-    ).otherwise(F.when(rate > stat_max_rate, "fail").otherwise("pass"))
+    ).otherwise(F.when(rate > ceiling, "fail").otherwise("pass"))
     return merged.select(
         "part",
         "check_name",

@@ -212,9 +212,13 @@ def test_fd_discovery_vs_duckdb(spark, frame_path, frame):
             # check must agree the FD cannot hold
             assert (n_groups, viol, holds) == (None, None, False), (a, b)
             assert int(ev) > 0, (a, b)
-    # the large-dependent pairs are settled without a data pass
+    # the large-dependent pair with a null-free determinant is settled
+    # without a data pass; grade (which HAS nulls) must NOT be pruned —
+    # the distinct(B) <= distinct(A) argument needs a null-free
+    # determinant, so its large-dependent pairs are measured for real
     assert got[("source", "id")][3] is False
-    assert got[("grade", "score")][3] is False
+    assert got[("grade", "score")][3] is True
+    assert got[("grade", "id")][3] is True
     # structural spot checks: i%5 source determines nothing about
     # i%3 label (gcd 1 -> every source sees all labels), while every
     # column trivially determines the all-null ghost (nb = 0 groups)
@@ -239,6 +243,97 @@ def test_fd_explicit_pairs_and_errors(spark, frame):
     r = suggest_fds(frame, pairs=[("source", "id")],
                     max_violation_rate=0.5).collect()[0]
     assert r["checked"] is True and r["fd_rate"] == 1.0 and r["holds"] is False
+
+
+def test_fd_null_determinant_not_pruned_unsoundly(spark):
+    """The review scenario: most rows have a NULL determinant carrying
+    distinct dependents, so the GLOBAL distinct(B) estimate dwarfs
+    distinct(A) — yet the FD holds over the non-null-A rows. Pruning on
+    the global estimate would wrongly settle holds=false."""
+    from autoprepad_spark.operators.suggest import suggest_fds
+
+    rows = [Row(a=None, b=f"doc-{i}") for i in range(990)]
+    rows += [Row(a="x", b="c"), Row(a="y", b="c")] * 5
+    df = spark.createDataFrame(rows, schema="a string, b string")
+    r = suggest_fds(df, pairs=[("a", "b")]).collect()[0]
+    assert r["checked"] is True and r["holds"] is True
+    assert (r["n_groups"], r["violating_groups"]) == (2, 0)
+
+
+def test_fd_vacuous_and_empty_pairs_get_rows(spark, frame):
+    """An all-null determinant (no groups at any tolerance) still gets
+    an explicit vacuous verdict instead of vanishing."""
+    from autoprepad_spark.operators.suggest import suggest_fds
+
+    rows = suggest_fds(frame, pairs=[("ghost", "source")],
+                       max_violation_rate=0.1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["checked"] is True and r["holds"] is True and r["n_groups"] == 0
+
+
+def test_nan_column_yields_no_unparseable_suggestions(spark):
+    """NaN min/max (float columns sort NaN greatest) must not leak into
+    range/isin SQL or params JSON."""
+    rows = [Row(v=float(i % 3), w=float(i)) for i in range(50)]
+    rows.append(Row(v=float("nan"), w=float("nan")))
+    df = spark.createDataFrame(rows, schema="v double, w double")
+    sugg = suggest_checks(df).collect()
+    kinds = {(s["column"], s["kind"]) for s in sugg}
+    assert ("v", "range") not in kinds and ("w", "range") not in kinds
+    assert ("v", "isin") not in kinds  # NaN in the small domain
+    for s in sugg:
+        json.loads(s["params"])  # every params blob stays valid JSON
+    # and every compiled check still parses/evaluates
+    checks = to_custom_checks(sugg)
+    if checks:
+        df.select(*[c.flag_col().alias(c.name) for c in checks]).collect()
+
+
+def test_non_identifier_column_names_compile(spark):
+    """Columns like 'user-id' must produce suite-legal check names while
+    predicates keep the real name via backticks."""
+    from autoprepad_spark.operators.marking import validate_custom_checks
+
+    df = spark.createDataFrame(
+        [Row(**{"user-id": f"u{i}", "n tok": i % 5}) for i in range(100)],
+        schema="`user-id` string, `n tok` int")
+    checks = to_custom_checks(suggest_checks(df))
+    assert checks
+    validate_custom_checks(checks)  # would raise on a bad name
+    flags = df.select(*[c.flag_col().alias(c.name) for c in checks]
+                      ).groupBy().sum().collect()[0]
+    hard = {c.name for c in checks if c.hard}
+    for c, v in zip(checks, flags):
+        if c.name in hard:
+            assert v == 0, c.name
+
+
+def test_suggested_null_ceiling_rides_into_suite(spark, dim_df):
+    """A 30%-null column exceeds the suite-global 10% statistical
+    ceiling; the suggested per-check ceiling (rate x headroom) must
+    travel through to_custom_checks so the compiled check still passes
+    on its source data."""
+    from autoprepad_spark import ValidationSuite
+    from autoprepad_spark.datagen import generate_tokens
+
+    tokens = generate_tokens(spark, 20_000, seed=11, n_parts=4)
+    # graft a 30%-null extra column onto the token schema
+    tokens = tokens.withColumn(
+        "aux", F.when(F.pmod(F.xxhash64("doc_id"), F.lit(10)) < 3, None)
+        .otherwise(F.lit("v")))
+    sugg = suggest_checks(tokens, cols=["aux"])
+    checks = to_custom_checks(sugg)
+    null_check = [c for c in checks if c.name == "sugg_null_rate_max_aux"][0]
+    assert null_check.stat_max_rate is not None
+    assert 0.3 < null_check.stat_max_rate < 0.5
+    res = ValidationSuite(custom_checks=checks).run(tokens, dim=dim_df)
+    v = res.verdicts.filter(
+        F.col("check_name") == "sugg_null_rate_max_aux").collect()
+    assert v and all(r["status"] == "pass" for r in v)
+    # sanity: the observed rate really does exceed the global ceiling
+    assert all(r["metric"] > 0.1 for r in v)
+    res.unpersist()
 
 
 def test_runner_checks_from_persisted_suggestions(
