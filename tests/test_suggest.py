@@ -412,3 +412,40 @@ def test_snapshot_diff_identity(frame):
     prof = column_profile(frame)
     d = snapshot_diff(prof, prof).collect()
     assert d == []
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: the hold property under adversarial values
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_cell = st.one_of(
+    st.none(),
+    st.text(min_size=0, max_size=12),  # includes quotes/backticks/unicode
+)
+_num = st.one_of(
+    st.none(),
+    st.integers(min_value=-10**9, max_value=10**9).map(float),
+    st.floats(allow_nan=True, allow_infinity=True, width=32),
+)
+
+
+@given(st.lists(st.tuples(_cell, _num), min_size=1, max_size=30))
+@settings(max_examples=12, deadline=None)
+def test_hold_property_fuzz(spark, rows):
+    """For ANY frame, every suggested HARD check has zero violations on
+    the frame it was suggested from, and every params blob is valid
+    JSON — across quotes, backslashes, unicode, NaN/inf, and nulls."""
+    df = spark.createDataFrame(rows, schema="s string, x double")
+    sugg = suggest_checks(df).collect()
+    for r in sugg:
+        json.loads(r["params"])
+    checks = to_custom_checks(sugg)
+    hard = [c for c in checks if c.hard]
+    if not hard:
+        return
+    flags = df.select(*[c.flag_col().alias(c.name) for c in hard]
+                      ).groupBy().sum().collect()[0]
+    assert all((v or 0) == 0 for v in flags), dict(
+        zip([c.name for c in hard], flags))
