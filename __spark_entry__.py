@@ -772,21 +772,46 @@ def q_token_minhash_dedup(spark, sf):
 
 
 def q_custom_checks(spark, sf):
-    """User-defined constraints (plans/suite.py custom_checks +
-    marking.CustomCheck, new r4 — the engine's answer to the reference's
-    pluggable-transformer axis, pipelines/control.py:153-154): two
-    declarative SQL predicates — one HARD check over the token payload
-    (first token id < 100; fused into the same single marking scan, so
-    the payload is still read once) and one STATISTICAL check
-    (n_tok % 7 == 0, expected rate ~1/7 > the 0.1 stat_max_rate, so it
-    fails) — run through the full suite verdict lifecycle. The oracle
+    """User-defined AND auto-suggested constraints (plans/suite.py
+    custom_checks + marking.CustomCheck + operators/suggest.py, r4 —
+    the engine's answer to the reference's pluggable-transformer axis,
+    pipelines/control.py:153-154, plus the Deequ-style
+    profile-to-constraints loop the reference lacks): two hand-written
+    predicates — one HARD check over the token payload (first token id
+    < 100; fused into the same single marking scan) and one STATISTICAL
+    check (n_tok % 7 == 0, rate ~1/7 > the 0.1 stat_max_rate, so it
+    fails) — PLUS the checks suggest_checks derives from the clean
+    table itself (source: not_null + isin over its exact 9-value
+    domain; n_tok: not_null + non_negative + observed range). The suite
+    then validates the clean table UNIONed with an engineered
+    regression partition 'p-sugg' (novel/null sources, negative and
+    out-of-range n_tok), so every suggested check both passes on the
+    data it was derived from and catches the regression. The oracle
+    re-derives the domain and bounds FROM THE SAME PARQUET,
+    reconstructs the engineered partition with generate_series, and
     recomputes per-partition row counts, violation counts, the
-    hard/statistical pass rules, and the exact rate metric in SQL (the
-    metric division is the same IEEE BIGINT/BIGINT double division in
-    both engines, so it is compared unrounded)."""
+    hard/statistical rules, and the exact rate metric (same IEEE
+    division, compared unrounded)."""
     from autoprepad_spark import CustomCheck, ValidationSuite
+    from autoprepad_spark.operators.suggest import (
+        suggest_checks,
+        to_custom_checks,
+    )
 
     df = spark.read.parquet(_tokens_input(spark))
+    # suggest from the CLEAN table (the profile-once step)
+    sugg = to_custom_checks(suggest_checks(df, cols=["source", "n_tok"]))
+    # engineered regression partition (the later-snapshot step)
+    bad = spark.range(40).select(
+        F.concat(F.lit("sugg-"), F.col("id").cast("string")).alias("doc_id"),
+        F.array(F.lit(1), F.lit(2)).cast("array<int>").alias("tokens"),
+        F.when(F.col("id") % 2 == 0, F.lit(-5))
+        .otherwise(F.lit(1_000_000)).cast("int").alias("n_tok"),
+        F.when(F.col("id") % 4 == 1, F.lit(None).cast("string"))
+        .otherwise(F.lit("__novel__")).alias("source"),
+        F.lit("p-sugg").alias("part"),
+    )
+    union = df.unionByName(bad)
     checks = [
         CustomCheck(
             name="first_token_low",
@@ -797,10 +822,10 @@ def q_custom_checks(spark, sf):
             hard=True,
         ),
         CustomCheck(name="ntok_mod7", predicate="n_tok % 7 = 0", hard=False),
-    ]
+    ] + sugg
     res = ValidationSuite(
-        custom_checks=checks, checks=["first_token_low", "ntok_mod7"]
-    ).run(df)
+        custom_checks=checks, checks=[c.name for c in checks]
+    ).run(union)
     out = (
         res.verdicts.select(
             "part",
@@ -1670,6 +1695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # token_minhash_dedup (the token-domain dedup/decontamination
     # family), token_repetition (degeneracy profile), temperature_mix
     # (mass^alpha source flattening) and mergeable_summaries.
+    # custom_checks additionally exercises the constraint-SUGGESTION
+    # loop since late r4: checks derived by suggest_checks from the
+    # clean table run beside the hand-written ones against an
+    # engineered regression partition, oracle re-deriving the
+    # domain/bounds from the same parquet.
     return {
         "validate_tokens": q_validate_tokens,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2600,14 +2630,51 @@ def oracle_sql() -> dict[str, str]:
             WITH tok AS (
               SELECT * FROM read_parquet('{SCRATCH}/validate_tokens_input/*.parquet')
             ),
-            rc AS (SELECT part, count(*) AS row_count FROM tok GROUP BY 1),
+            bad AS (
+              SELECT 'sugg-' || i AS doc_id, [1, 2] AS tokens,
+                     CASE WHEN i % 2 = 0 THEN -5 ELSE 1000000 END AS n_tok,
+                     CASE WHEN i % 4 = 1 THEN NULL ELSE '__novel__' END
+                       AS source,
+                     'p-sugg' AS part
+              FROM unnest(generate_series(0, 39)) t(i)
+            ),
+            allr AS (
+              SELECT doc_id, tokens, n_tok, source, part FROM tok
+              UNION ALL SELECT * FROM bad
+            ),
+            -- the suggestion step derives these from the CLEAN table
+            bounds AS (SELECT min(n_tok) AS lo, max(n_tok) AS hi FROM tok),
+            dom AS (SELECT DISTINCT source FROM tok WHERE source IS NOT NULL),
+            rc AS (SELECT part, count(*) AS row_count FROM allr GROUP BY 1),
             v1 AS (
-              SELECT part, count(*) AS vc FROM tok
+              SELECT part, count(*) AS vc FROM allr
               WHERE len(tokens) > 0 AND tokens[1] < 100 GROUP BY 1
             ),
             v2 AS (
-              SELECT part, count(*) AS vc FROM tok
+              SELECT part, count(*) AS vc FROM allr
               WHERE n_tok % 7 = 0 GROUP BY 1
+            ),
+            v3 AS (
+              SELECT part, count(*) AS vc FROM allr
+              WHERE source IS NULL GROUP BY 1
+            ),
+            v4 AS (
+              SELECT part, count(*) AS vc FROM allr
+              WHERE source IS NOT NULL
+                AND source NOT IN (SELECT source FROM dom) GROUP BY 1
+            ),
+            v5 AS (
+              SELECT part, count(*) AS vc FROM allr
+              WHERE n_tok IS NULL GROUP BY 1
+            ),
+            v6 AS (
+              SELECT part, count(*) AS vc FROM allr
+              WHERE n_tok < 0 GROUP BY 1
+            ),
+            v7 AS (
+              SELECT part, count(*) AS vc FROM allr
+              WHERE n_tok < (SELECT lo FROM bounds)
+                 OR n_tok > (SELECT hi FROM bounds) GROUP BY 1
             ),
             u AS (
               SELECT rc.part, 'first_token_low' AS check_name, TRUE AS hard,
@@ -2617,6 +2684,26 @@ def oracle_sql() -> dict[str, str]:
               SELECT rc.part, 'ntok_mod7', FALSE,
                      coalesce(v2.vc, 0), rc.row_count
               FROM rc LEFT JOIN v2 USING (part)
+              UNION ALL
+              SELECT rc.part, 'sugg_not_null_source', TRUE,
+                     coalesce(v3.vc, 0), rc.row_count
+              FROM rc LEFT JOIN v3 USING (part)
+              UNION ALL
+              SELECT rc.part, 'sugg_isin_source', TRUE,
+                     coalesce(v4.vc, 0), rc.row_count
+              FROM rc LEFT JOIN v4 USING (part)
+              UNION ALL
+              SELECT rc.part, 'sugg_not_null_n_tok', TRUE,
+                     coalesce(v5.vc, 0), rc.row_count
+              FROM rc LEFT JOIN v5 USING (part)
+              UNION ALL
+              SELECT rc.part, 'sugg_non_negative_n_tok', TRUE,
+                     coalesce(v6.vc, 0), rc.row_count
+              FROM rc LEFT JOIN v6 USING (part)
+              UNION ALL
+              SELECT rc.part, 'sugg_range_n_tok', FALSE,
+                     coalesce(v7.vc, 0), rc.row_count
+              FROM rc LEFT JOIN v7 USING (part)
             )
             SELECT part, check_name,
                    CASE WHEN hard
