@@ -24,6 +24,13 @@ from autoprepad_spark.session import get_spark
 from autoprepad_spark.plans.suite import CustomCheck, ValidationSuite
 from autoprepad_spark.plans.corpus import clean_corpus
 from autoprepad_spark.operators.tokenizer import bpe_encode, fit_bpe
+from autoprepad_spark.operators.suggest import (
+    profile_snapshot,
+    snapshot_diff,
+    suggest_checks,
+    suggest_fds,
+    to_custom_checks,
+)
 from autoprepad_spark.sources.warc import (
     read_warc,
     warc_to_documents,
@@ -39,6 +46,11 @@ __all__ = [
     "clean_corpus",
     "fit_bpe",
     "bpe_encode",
+    "profile_snapshot",
+    "suggest_checks",
+    "suggest_fds",
+    "snapshot_diff",
+    "to_custom_checks",
     "read_warc",
     "warc_to_documents",
     "wet_to_documents",
