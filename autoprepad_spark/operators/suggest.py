@@ -599,3 +599,154 @@ def snapshot_diff(
         extra.append(("*", "row_count_shift", str(o_cnt), str(n_cnt), "info"))
     extra_df = spark.createDataFrame(extra, DIFF_SCHEMA)
     return changes.unionByName(extra_df).orderBy("column", "kind")
+
+
+# ---------------------------------------------------------------------------
+# grouped (per-key) suggestion
+# ---------------------------------------------------------------------------
+
+#: schema of suggest_grouped_checks output
+GROUPED_SUGGESTION_SCHEMA = T.StructType([
+    T.StructField("group", T.StringType(), False),
+    T.StructField("column", T.StringType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("params", T.StringType(), False),
+    T.StructField("evidence", T.StringType(), False),
+])
+
+
+def suggest_grouped_checks(
+    df: DataFrame,
+    group_col: str,
+    cols: list[str],
+    *,
+    max_groups: int = 1000,
+) -> DataFrame:
+    """Per-group numeric bounds + null-rate suggestions — constraints a
+    GLOBAL profile cannot express. In a mixed corpus, 3000 tokens is a
+    legitimate length for `books` and an anomaly for `forums`; a global
+    range check passes both, a per-source range catches the second.
+
+    ONE groupBy(group_col) wide agg produces a |groups| x |cols| stats
+    frame (per-group count / nulls / min / max for each column);
+    suggestions derive from that frame alone. A guard raises when the
+    group count exceeds `max_groups` — per-group constraints over a
+    high-cardinality key are a modeling error (and an unbounded driver
+    collect), not something to attempt silently.
+
+    Emits per (group, column): `grp_range` (observed [min, max]) and
+    `grp_null_rate` (observed rate) rows. Compile with
+    `grouped_to_custom_checks`, which fuses each (column, kind) family
+    into ONE CustomCheck whose predicate is a when-chain over groups —
+    so a 50-group table adds two checks per column to the verdict
+    board, not a hundred, and the marking scan stays single-pass.
+    """
+    spark = df.sparkSession
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if group_col not in fields:
+        raise ValueError(f"group column {group_col!r} not in frame")
+    for c in cols:
+        if c not in fields:
+            raise ValueError(f"column {c!r} not in frame")
+        if not isinstance(fields[c], _NUMERIC):
+            raise ValueError(
+                f"suggest_grouped_checks needs numeric columns; {c!r} is "
+                f"{fields[c].simpleString()}")
+
+    n_groups = df.select(F.approx_count_distinct(group_col, 0.02)).collect()[0][0]
+    if n_groups > max_groups:
+        raise ValueError(
+            f"{group_col!r} has ~{n_groups} groups > max_groups={max_groups}; "
+            "per-group constraints over a high-cardinality key are a "
+            "modeling error — raise max_groups only if the group count is "
+            "genuinely bounded")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"nn_{c}"),
+            F.min(col).cast("double").alias(f"lo_{c}"),
+            F.max(col).cast("double").alias(f"hi_{c}"),
+        ]
+    stats = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).cast("string").alias("g"))
+        .agg(*aggs)
+        .collect()
+    )
+    out = []
+    for r in stats:
+        g, n = r["g"], r["__n"]
+        for c in cols:
+            lo, hi = r[f"lo_{c}"], r[f"hi_{c}"]
+            if lo is not None and math.isfinite(lo) and math.isfinite(hi):
+                out.append((g, c, "grp_range",
+                            f'{{"min": {lo!r}, "max": {hi!r}}}',
+                            f"observed=[{lo!r}, {hi!r}] over {n} rows"))
+            rate = (n - r[f"nn_{c}"]) / n if n else 0.0
+            out.append((g, c, "grp_null_rate",
+                        f'{{"rate": {rate:.6f}}}',
+                        f"nulls={n - r[f'nn_{c}']} of {n}"))
+    out.sort()
+    return spark.createDataFrame(out, GROUPED_SUGGESTION_SCHEMA)
+
+
+def grouped_to_custom_checks(
+    suggestions: DataFrame | list,
+    group_col: str,
+    *,
+    prefix: str = "sugg_grp",
+    null_headroom: float = 1.5,
+    stat_max_rate_floor: float = 0.0,
+) -> list[CustomCheck]:
+    """One fused CustomCheck per (column, kind) family.
+
+    grp_range  -> HARD check: when-chain over groups, each arm the
+                  group's observed-bounds violation predicate; rows in
+                  groups unseen at suggestion time don't flag (their
+                  arm is absent -> NULL -> pass; the GLOBAL isin check
+                  owns novel groups).
+    grp_null_rate -> SOFT check flagging nulls per row, with
+                  stat_max_rate = max over groups of
+                  (rate * null_headroom, floor) — the verdict rule is
+                  per-partition, so the ceiling takes the laxest group
+                  (per-group verdict granularity would need per-group
+                  partitions, which is exactly how the suite's
+                  partition column is meant to be laid out).
+    """
+    rows = (suggestions.collect()
+            if isinstance(suggestions, DataFrame) else suggestions)
+    by_col_range: dict[str, list] = {}
+    by_col_rate: dict[str, float] = {}
+    for r in rows:
+        if r["kind"] == "grp_range":
+            by_col_range.setdefault(r["column"], []).append(r)
+        elif r["kind"] == "grp_null_rate":
+            rate = json.loads(r["params"])["rate"]
+            by_col_rate[r["column"]] = max(
+                by_col_rate.get(r["column"], 0.0), rate)
+    checks = []
+    for c, arms in sorted(by_col_range.items()):
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", c)
+        whens = " ".join(
+            f"WHEN {_sql_literal(r['group'], 'string')} THEN "
+            f"(`{c}` < {json.loads(r['params'])['min']!r} OR "
+            f"`{c}` > {json.loads(r['params'])['max']!r})"
+            for r in sorted(arms, key=lambda x: x["group"])
+        )
+        checks.append(CustomCheck(
+            name=f"{prefix}_range_{safe}",
+            predicate=f"CASE `{group_col}` {whens} END",
+            hard=True,
+        ))
+    for c, rate in sorted(by_col_rate.items()):
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", c)
+        checks.append(CustomCheck(
+            name=f"{prefix}_null_rate_{safe}",
+            predicate=f"`{c}` IS NULL",
+            hard=False,
+            stat_max_rate=max(min(1.0, rate * null_headroom),
+                              stat_max_rate_floor),
+        ))
+    return checks

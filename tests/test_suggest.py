@@ -449,3 +449,88 @@ def test_hold_property_fuzz(spark, rows):
                       ).groupBy().sum().collect()[0]
     assert all((v or 0) == 0 for v in flags), dict(
         zip([c.name for c in hard], flags))
+
+
+# ---------------------------------------------------------------------------
+# grouped suggestion
+# ---------------------------------------------------------------------------
+
+def _grouped_frame(spark):
+    rows = []
+    for i in range(900):
+        g = ["alpha", "beta", "gamma"][i % 3]
+        base = {"alpha": 0, "beta": 1000, "gamma": 5000}[g]
+        rows.append(Row(
+            grp=g,
+            val=float(base + i % 100),
+            maybe=None if (g == "beta" and i % 5 == 0) else float(i),
+        ))
+    return spark.createDataFrame(rows, schema="grp string, val double, maybe double")
+
+
+def test_grouped_stats_vs_duckdb(spark, tmp_path):
+    from autoprepad_spark.operators.suggest import suggest_grouped_checks
+
+    df = _grouped_frame(spark)
+    p = str(tmp_path / "g.parquet")
+    df.write.parquet(p)
+    got = {(r["group"], r["column"], r["kind"]): json.loads(r["params"])
+           for r in suggest_grouped_checks(df, "grp", ["val", "maybe"]).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    for g, c in [(g, c) for g in ("alpha", "beta", "gamma")
+                 for c in ("val", "maybe")]:
+        lo, hi, n, nn = con.execute(
+            f'SELECT min("{c}"), max("{c}"), count(*), count("{c}") '
+            f"FROM t WHERE grp = '{g}'").fetchone()
+        assert got[(g, c, "grp_range")] == {"min": lo, "max": hi}
+        assert abs(got[(g, c, "grp_null_rate")]["rate"] - (n - nn) / n) < 1e-9
+
+
+def test_grouped_catches_cross_group_outlier(spark):
+    """The discriminating case: 5050.0 is inside gamma's range but far
+    outside alpha's — a GLOBAL range check passes it, the grouped check
+    flags it."""
+    from autoprepad_spark.operators.suggest import (
+        grouped_to_custom_checks,
+        suggest_grouped_checks,
+    )
+
+    df = _grouped_frame(spark)
+    sugg = suggest_grouped_checks(df, "grp", ["val"])
+    checks = grouped_to_custom_checks(sugg, "grp")
+    rng = [c for c in checks if c.name == "sugg_grp_range_val"][0]
+    # hold: zero violations on the source frame
+    assert df.select(rng.flag_col().alias("f")).groupBy().sum().collect()[0][0] == 0
+    probe = spark.createDataFrame(
+        [Row(grp="alpha", val=5050.0, maybe=1.0),     # gamma-legal, alpha-illegal
+         Row(grp="gamma", val=5050.0, maybe=1.0),     # in-range for gamma
+         Row(grp="novel", val=9.9e9, maybe=1.0)],     # unseen group: no arm
+        schema="grp string, val double, maybe double")
+    flags = [r["f"] for r in probe.select(rng.flag_col().alias("f")).collect()]
+    assert flags == [1, 0, 0]
+    # global-range blindness, for contrast
+    gl = [c for c in to_custom_checks(suggest_checks(df, cols=["val"]))
+          if c.name == "sugg_range_val"][0]
+    assert probe.filter("grp = 'alpha'").select(
+        gl.flag_col().alias("f")).collect()[0]["f"] == 0
+
+
+def test_grouped_null_ceiling_and_guards(spark):
+    from autoprepad_spark.operators.suggest import (
+        grouped_to_custom_checks,
+        suggest_grouped_checks,
+    )
+
+    df = _grouped_frame(spark)
+    checks = grouped_to_custom_checks(
+        suggest_grouped_checks(df, "grp", ["maybe"]), "grp")
+    nc = [c for c in checks if c.name == "sugg_grp_null_rate_maybe"][0]
+    # ceiling = laxest group (beta: 20% nulls) x headroom 1.5
+    assert abs(nc.stat_max_rate - 0.3) < 1e-6
+    with pytest.raises(ValueError, match="max_groups"):
+        suggest_grouped_checks(
+            df.withColumn("k", F.monotonically_increasing_id().cast("string")),
+            "k", ["val"], max_groups=100)
+    with pytest.raises(ValueError, match="numeric"):
+        suggest_grouped_checks(df, "grp", ["grp"])
