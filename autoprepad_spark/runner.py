@@ -60,6 +60,13 @@ def main(argv: list[str] | None = None) -> int:
              "the profile-once / validate-forever loop",
     )
     ap.add_argument(
+        "--grouped-checks-from", default=None, metavar="GROUPCOL=PATH",
+        help="parquet of grouped suggestion rows (operators/suggest.py "
+             "GROUPED_SUGGESTION_SCHEMA, e.g. a persisted "
+             "suggest_grouped_checks output) compiled against GROUPCOL "
+             "into fused per-group CustomChecks",
+    )
+    ap.add_argument(
         "--sample", type=float, default=None, metavar="FRACTION",
         help="smoke-validate a deterministic doc_id-hash sample of the "
              "input (scan-level predicate, no shuffle; same docs at any "
@@ -97,6 +104,14 @@ def main(argv: list[str] | None = None) -> int:
         from autoprepad_spark.operators.suggest import to_custom_checks
 
         custom.extend(to_custom_checks(load(args.checks_from)))
+    if args.grouped_checks_from:
+        from autoprepad_spark.operators.suggest import grouped_to_custom_checks
+
+        gcol, sep, gpath = args.grouped_checks_from.partition("=")
+        if not sep or not gcol.strip() or not gpath.strip():
+            ap.error("--grouped-checks-from expects GROUPCOL=PATH, got "
+                     f"{args.grouped_checks_from!r}")
+        custom.extend(grouped_to_custom_checks(load(gpath.strip()), gcol.strip()))
 
     df = load(args.input)
     if args.sample is not None and args.sample < 1.0:

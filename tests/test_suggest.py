@@ -534,3 +534,28 @@ def test_grouped_null_ceiling_and_guards(spark):
             "k", ["val"], max_groups=100)
     with pytest.raises(ValueError, match="numeric"):
         suggest_grouped_checks(df, "grp", ["grp"])
+
+
+def test_runner_grouped_checks_from(spark, tokens_df, dim_df, tmp_path):
+    from autoprepad_spark import runner
+    from autoprepad_spark.operators.suggest import suggest_grouped_checks
+
+    tok = str(tmp_path / "tok.parquet")
+    dim = str(tmp_path / "dim.parquet")
+    gs = str(tmp_path / "gsugg.parquet")
+    out = str(tmp_path / "gout")
+    tokens_df.write.parquet(tok)
+    dim_df.write.parquet(dim)
+    suggest_grouped_checks(tokens_df, "source", ["n_tok"]).write.parquet(gs)
+
+    rc = runner.main([
+        "--input", tok, "--dim", dim, "--output", out,
+        "--run-id", "grp-run", "--grouped-checks-from", f"source={gs}",
+    ])
+    assert rc == 2  # built-ins fail on injected violations, as designed
+    v = spark.read.parquet(out + "/verdicts").filter(
+        F.col("check_name").startswith("sugg_grp_"))
+    rows = v.collect()
+    assert rows and all(r["status"] == "pass" for r in rows)
+    assert {r["check_name"] for r in rows} == {
+        "sugg_grp_range_n_tok", "sugg_grp_null_rate_n_tok"}
