@@ -799,8 +799,19 @@ def q_custom_checks(spark, sf):
     )
 
     df = spark.read.parquet(_tokens_input(spark))
-    # suggest from the CLEAN table (the profile-once step)
-    sugg = to_custom_checks(suggest_checks(df, cols=["source", "n_tok"]))
+    # suggest from the CLEAN table (the profile-once step); pin the
+    # check set to the five the oracle models — at other scale factors
+    # the data could legitimately earn extra suggestions (e.g. a small
+    # n_tok domain gaining isin), which would desync Spark and oracle
+    # without any code change
+    _expected = {
+        "sugg_not_null_source", "sugg_isin_source", "sugg_not_null_n_tok",
+        "sugg_non_negative_n_tok", "sugg_range_n_tok",
+    }
+    sugg = [
+        c for c in to_custom_checks(suggest_checks(df, cols=["source", "n_tok"]))
+        if c.name in _expected
+    ]
     # engineered regression partition (the later-snapshot step)
     bad = spark.range(40).select(
         F.concat(F.lit("sugg-"), F.col("id").cast("string")).alias("doc_id"),

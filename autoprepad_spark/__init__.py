@@ -25,10 +25,12 @@ from autoprepad_spark.plans.suite import CustomCheck, ValidationSuite
 from autoprepad_spark.plans.corpus import clean_corpus
 from autoprepad_spark.operators.tokenizer import bpe_encode, fit_bpe
 from autoprepad_spark.operators.suggest import (
+    grouped_to_custom_checks,
     profile_snapshot,
     snapshot_diff,
     suggest_checks,
     suggest_fds,
+    suggest_grouped_checks,
     to_custom_checks,
 )
 from autoprepad_spark.sources.warc import (
@@ -49,8 +51,10 @@ __all__ = [
     "profile_snapshot",
     "suggest_checks",
     "suggest_fds",
+    "suggest_grouped_checks",
     "snapshot_diff",
     "to_custom_checks",
+    "grouped_to_custom_checks",
     "read_warc",
     "warc_to_documents",
     "wet_to_documents",

@@ -42,7 +42,7 @@ import re
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 from autoprepad_spark.operators.marking import CustomCheck
 
@@ -50,6 +50,18 @@ _NUMERIC = (
     T.ByteType, T.ShortType, T.IntegerType, T.LongType,
     T.FloatType, T.DoubleType, T.DecimalType,
 )
+
+
+def _qname(c: str) -> str:
+    """Backtick-quoted identifier for predicates and F.col — required
+    for column names containing dots (struct-access otherwise), dashes,
+    spaces, or backticks (doubled per Spark quoting rules)."""
+    return "`" + c.replace("`", "``") + "`"
+
+
+def _qcol(c: str) -> Column:
+    return F.col(_qname(c))
+
 
 #: schema of profile_snapshot / column_profile output
 SNAPSHOT_SCHEMA = T.StructType([
@@ -98,7 +110,7 @@ def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         return spark.createDataFrame([], SNAPSHOT_SCHEMA)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c, t in pcols:
-        col = F.col(c)
+        col = _qcol(c)
         aggs.append(F.count(col).alias(f"nn_{c}"))
         aggs.append(F.approx_count_distinct(col, 0.02).alias(f"d_{c}"))
         aggs.append(F.min(col).cast("string").alias(f"mins_{c}"))
@@ -141,11 +153,14 @@ SUGGESTION_SCHEMA = T.StructType([
 
 
 def _sql_literal(v: str, dtype: str) -> str | None:
-    """SQL literal for a stringified domain value, or None when the
-    value has no parseable literal form (NaN/Infinity in a float
-    domain)."""
+    """Spark SQL literal for a stringified domain value, or None when
+    the value has no parseable literal form (NaN/Infinity in a float
+    domain). Backslash must be escaped FIRST — Spark's default parser
+    treats it as an escape character inside string literals, so an
+    unescaped trailing backslash is a ParseException and an interior
+    one silently changes the value."""
     if dtype in ("string", "date", "timestamp"):
-        return "'" + v.replace("'", "''") + "'"
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     if dtype == "boolean":
         return v
     try:
@@ -215,13 +230,15 @@ def suggest_checks(
             continue
         dtype = r["dtype"]
         if r["n_null"] == 0:
-            out.append((c, "not_null", f"`{c}` IS NULL",
+            out.append((c, "not_null", f"{_qname(c)} IS NULL",
                         "{}", f"nulls=0 of {n}", True))
         else:
             rate = r["n_null"] / n
             ceil = min(1.0, rate * config.null_headroom)
-            out.append((c, "null_rate_max", f"`{c}` IS NULL",
-                        f'{{"max_rate": {ceil:.6f}}}',
+            # raw repr, not a rounded format: truncating a tiny ceiling
+            # to 0 would make the check fail on its own source data
+            out.append((c, "null_rate_max", f"{_qname(c)} IS NULL",
+                        f'{{"max_rate": {ceil!r}}}',
                         f"null_rate={rate:.6f}", False))
         if nn > 0 and r["distinct_est"] >= (1 - config.unique_margin) * nn:
             out.append((c, "unique", None, "{}",
@@ -235,11 +252,11 @@ def suggest_checks(
         if r["min_num"] is not None and math.isfinite(r["min_num"]) \
                 and math.isfinite(r["max_num"]):
             if r["min_num"] >= 0:
-                out.append((c, "non_negative", f"`{c}` < 0", "{}",
+                out.append((c, "non_negative", f"{_qname(c)} < 0", "{}",
                             f"min={r['min_num']}", True))
             lo, hi = repr(r["min_num"]), repr(r["max_num"])
             out.append((c, "range",
-                        f"`{c}` < {lo} OR `{c}` > {hi}",
+                        f"{_qname(c)} < {lo} OR {_qname(c)} > {hi}",
                         f'{{"min": {lo}, "max": {hi}}}',
                         f"observed=[{lo}, {hi}]", False))
 
@@ -251,7 +268,7 @@ def suggest_checks(
         melted = df.select(
             F.explode(F.array(*[
                 F.struct(F.lit(c).alias("column"),
-                         F.col(c).cast("string").alias("value"))
+                         _qcol(c).cast("string").alias("value"))
                 for c in small
             ])).alias("kv")
         ).select("kv.column", "kv.value").filter(F.col("value").isNotNull())
@@ -273,7 +290,8 @@ def suggest_checks(
                 continue  # e.g. NaN in a small float domain: no SQL literal
             lits = ", ".join(_sql_literal(v, stats[c]["dtype"]) for v in dom)
             out.append((c, "isin",
-                        f"`{c}` IS NOT NULL AND `{c}` NOT IN ({lits})",
+                        f"{_qname(c)} IS NOT NULL AND "
+                        f"{_qname(c)} NOT IN ({lits})",
                         '{"domain_size": %d}' % len(dom),
                         "domain=[" + ", ".join(dom) + "]", True))
 
@@ -441,8 +459,8 @@ def suggest_fds(
             F.struct(
                 F.lit(a).alias("det"),
                 F.lit(b).alias("dep"),
-                F.col(a).cast("string").alias("a"),
-                F.col(b).cast("string").alias("b"),
+                _qcol(a).cast("string").alias("a"),
+                _qcol(b).cast("string").alias("b"),
             )
             for a, b in pairs
         ])).alias("kv")
@@ -653,28 +671,30 @@ def suggest_grouped_checks(
                 f"suggest_grouped_checks needs numeric columns; {c!r} is "
                 f"{fields[c].simpleString()}")
 
-    n_groups = df.select(F.approx_count_distinct(group_col, 0.02)).collect()[0][0]
-    if n_groups > max_groups:
-        raise ValueError(
-            f"{group_col!r} has ~{n_groups} groups > max_groups={max_groups}; "
-            "per-group constraints over a high-cardinality key are a "
-            "modeling error — raise max_groups only if the group count is "
-            "genuinely bounded")
-
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        col = F.col(c)
+        col = _qcol(c)
         aggs += [
             F.count(col).alias(f"nn_{c}"),
             F.min(col).cast("double").alias(f"lo_{c}"),
             F.max(col).cast("double").alias(f"hi_{c}"),
         ]
+    # the group-count guard rides the SAME single agg scan: collecting
+    # at most max_groups+1 aggregated rows bounds the driver exactly
+    # (no separate distinct-count pass over the input, no rsd error)
     stats = (
-        df.filter(F.col(group_col).isNotNull())
-        .groupBy(F.col(group_col).cast("string").alias("g"))
+        df.filter(_qcol(group_col).isNotNull())
+        .groupBy(_qcol(group_col).cast("string").alias("g"))
         .agg(*aggs)
+        .limit(max_groups + 1)
         .collect()
     )
+    if len(stats) > max_groups:
+        raise ValueError(
+            f"{group_col!r} has more than max_groups={max_groups} groups; "
+            "per-group constraints over a high-cardinality key are a "
+            "modeling error — raise max_groups only if the group count is "
+            "genuinely bounded")
     out = []
     for r in stats:
         g, n = r["g"], r["__n"]
@@ -686,7 +706,7 @@ def suggest_grouped_checks(
                             f"observed=[{lo!r}, {hi!r}] over {n} rows"))
             rate = (n - r[f"nn_{c}"]) / n if n else 0.0
             out.append((g, c, "grp_null_rate",
-                        f'{{"rate": {rate:.6f}}}',
+                        f'{{"rate": {rate!r}}}',
                         f"nulls={n - r[f'nn_{c}']} of {n}"))
     out.sort()
     return spark.createDataFrame(out, GROUPED_SUGGESTION_SCHEMA)
@@ -707,16 +727,27 @@ def grouped_to_custom_checks(
                   groups unseen at suggestion time don't flag (their
                   arm is absent -> NULL -> pass; the GLOBAL isin check
                   owns novel groups).
-    grp_null_rate -> SOFT check flagging nulls per row, with
-                  stat_max_rate = max over groups of
+    grp_null_rate -> SOFT check flagging nulls per row (scoped to
+                  non-null groups, matching the stats' scope — a null
+                  group key is the global completeness checks'
+                  business), with stat_max_rate = max over groups of
                   (rate * null_headroom, floor) — the verdict rule is
                   per-partition, so the ceiling takes the laxest group
                   (per-group verdict granularity would need per-group
                   partitions, which is exactly how the suite's
                   partition column is meant to be laid out).
+
+    Raises on a frame with no grouped suggestion rows (e.g. a plain
+    suggest_checks parquet passed by mistake) — a validation run that
+    silently compiles zero checks is a misconfiguration, not a pass.
     """
     rows = (suggestions.collect()
             if isinstance(suggestions, DataFrame) else suggestions)
+    known = {"grp_range", "grp_null_rate"}
+    if not any(r["kind"] in known for r in rows):
+        raise ValueError(
+            "no grouped suggestion rows (kinds grp_range/grp_null_rate) "
+            "found — is this a suggest_grouped_checks output?")
     by_col_range: dict[str, list] = {}
     by_col_rate: dict[str, float] = {}
     for r in rows:
@@ -727,24 +758,31 @@ def grouped_to_custom_checks(
             by_col_rate[r["column"]] = max(
                 by_col_rate.get(r["column"], 0.0), rate)
     checks = []
+    seen: set[str] = set()
+
+    def name_for(kind: str, c: str) -> str:
+        n = f"{prefix}_{kind}_" + re.sub(r"[^A-Za-z0-9_]", "_", c)
+        while n in seen:
+            n += "_"
+        seen.add(n)
+        return n
+
     for c, arms in sorted(by_col_range.items()):
-        safe = re.sub(r"[^A-Za-z0-9_]", "_", c)
         whens = " ".join(
             f"WHEN {_sql_literal(r['group'], 'string')} THEN "
-            f"(`{c}` < {json.loads(r['params'])['min']!r} OR "
-            f"`{c}` > {json.loads(r['params'])['max']!r})"
+            f"({_qname(c)} < {json.loads(r['params'])['min']!r} OR "
+            f"{_qname(c)} > {json.loads(r['params'])['max']!r})"
             for r in sorted(arms, key=lambda x: x["group"])
         )
         checks.append(CustomCheck(
-            name=f"{prefix}_range_{safe}",
-            predicate=f"CASE `{group_col}` {whens} END",
+            name=name_for("range", c),
+            predicate=f"CASE {_qname(group_col)} {whens} END",
             hard=True,
         ))
     for c, rate in sorted(by_col_rate.items()):
-        safe = re.sub(r"[^A-Za-z0-9_]", "_", c)
         checks.append(CustomCheck(
-            name=f"{prefix}_null_rate_{safe}",
-            predicate=f"`{c}` IS NULL",
+            name=name_for("null_rate", c),
+            predicate=f"{_qname(group_col)} IS NOT NULL AND {_qname(c)} IS NULL",
             hard=False,
             stat_max_rate=max(min(1.0, rate * null_headroom),
                               stat_max_rate_floor),

@@ -104,16 +104,25 @@ def main(argv: list[str] | None = None) -> int:
         from autoprepad_spark.operators.suggest import to_custom_checks
 
         custom.extend(to_custom_checks(load(args.checks_from)))
+    gcol = None
     if args.grouped_checks_from:
         from autoprepad_spark.operators.suggest import grouped_to_custom_checks
 
         gcol, sep, gpath = args.grouped_checks_from.partition("=")
-        if not sep or not gcol.strip() or not gpath.strip():
+        gcol = gcol.strip()
+        if not sep or not gcol or not gpath.strip():
             ap.error("--grouped-checks-from expects GROUPCOL=PATH, got "
                      f"{args.grouped_checks_from!r}")
-        custom.extend(grouped_to_custom_checks(load(gpath.strip()), gcol.strip()))
+        # raises on a frame with no grouped suggestion rows — a run that
+        # silently compiled zero checks would report vacuous passes
+        custom.extend(grouped_to_custom_checks(load(gpath.strip()), gcol))
 
     df = load(args.input)
+    if gcol is not None and gcol not in df.columns:
+        ap.error(
+            f"--grouped-checks-from group column {gcol!r} is not a column "
+            f"of the input (have: {df.columns}) — a typo here would make "
+            "every per-group arm NULL and silently pass all rows")
     if args.sample is not None and args.sample < 1.0:
         from autoprepad_spark.operators.sampling import deterministic_sample
 

@@ -559,3 +559,90 @@ def test_runner_grouped_checks_from(spark, tokens_df, dim_df, tmp_path):
     assert rows and all(r["status"] == "pass" for r in rows)
     assert {r["check_name"] for r in rows} == {
         "sugg_grp_range_n_tok", "sugg_grp_null_rate_n_tok"}
+
+
+def test_backslash_values_compile_and_catch(spark):
+    """Backslashes in group keys and domains are Spark SQL escape
+    characters — the literals must escape them or the predicate either
+    fails to parse (trailing backslash) or silently matches nothing."""
+    from autoprepad_spark.operators.suggest import (
+        grouped_to_custom_checks,
+        suggest_grouped_checks,
+    )
+
+    rows = [Row(grp=g, val=float(b + i % 10))
+            for i in range(300)
+            for g, b in [("a\\", 0), ("c:\\tmp\\x", 100), ("plain'q", 500)]]
+    df = spark.createDataFrame(rows, schema="grp string, val double")
+    checks = grouped_to_custom_checks(
+        suggest_grouped_checks(df, "grp", ["val"]), "grp")
+    rng = [c for c in checks if c.name == "sugg_grp_range_val"][0]
+    assert df.select(rng.flag_col().alias("f")
+                     ).groupBy().sum().collect()[0][0] == 0
+    probe = spark.createDataFrame(
+        [Row(grp="a\\", val=505.0),        # legal for plain'q, not for a\
+         Row(grp="c:\\tmp\\x", val=505.0),
+         Row(grp="plain'q", val=505.0)],
+        schema="grp string, val double")
+    assert [r[0] for r in probe.select(rng.flag_col()).collect()] == [1, 1, 0]
+    # global isin path shares the literal escaping
+    gchecks = to_custom_checks(suggest_checks(df, cols=["grp"]))
+    isin = [c for c in gchecks if c.name == "sugg_isin_grp"][0]
+    assert df.select(isin.flag_col().alias("f")
+                     ).groupBy().sum().collect()[0][0] == 0
+    novel = spark.createDataFrame([Row(grp="d\\", val=1.0)],
+                                  schema="grp string, val double")
+    assert novel.select(isin.flag_col()).collect()[0][0] == 1
+
+
+def test_grouped_null_rate_scope_holds_with_null_groups(spark):
+    """Null-group rows are excluded from the stats, so the compiled
+    soft check must exclude them too — otherwise a frame whose nulls
+    live under a null group key fails its own suggested ceiling."""
+    from autoprepad_spark.operators.suggest import (
+        grouped_to_custom_checks,
+        suggest_grouped_checks,
+    )
+
+    rows = [Row(grp="g1", val=1.0)] * 50 + [Row(grp=None, val=None)] * 50
+    df = spark.createDataFrame(rows, schema="grp string, val double")
+    checks = grouped_to_custom_checks(
+        suggest_grouped_checks(df, "grp", ["val"]), "grp")
+    nc = [c for c in checks if c.name == "sugg_grp_null_rate_val"][0]
+    n = df.count()
+    flagged = df.select(nc.flag_col().alias("f")).groupBy().sum().collect()[0][0]
+    assert flagged / n <= nc.stat_max_rate  # the hold property
+
+
+def test_grouped_name_collision_and_schema_guard(spark):
+    from autoprepad_spark.operators.suggest import (
+        grouped_to_custom_checks,
+        suggest_grouped_checks,
+    )
+    from autoprepad_spark.operators.marking import validate_custom_checks
+
+    df = spark.createDataFrame(
+        [Row(**{"g": "x", "a.b": float(i), "a-b": float(i)})
+         for i in range(50)],
+        schema="g string, `a.b` double, `a-b` double")
+    checks = grouped_to_custom_checks(
+        suggest_grouped_checks(df, "g", ["a.b", "a-b"]), "g")
+    validate_custom_checks(checks)  # unique, legal names
+    assert len({c.name for c in checks}) == len(checks) == 4
+
+    with pytest.raises(ValueError, match="grouped suggestion"):
+        grouped_to_custom_checks(suggest_checks(df, cols=["g"]), "g")
+
+
+def test_tiny_null_rate_ceiling_not_truncated():
+    from autoprepad_spark.operators.suggest import grouped_to_custom_checks
+
+    rows = [
+        {"group": "g", "column": "c", "kind": "grp_null_rate",
+         "params": '{"rate": 1e-07}', "evidence": "nulls=1 of 10000000"},
+        {"group": "g", "column": "c", "kind": "grp_range",
+         "params": '{"min": 0.0, "max": 1.0}', "evidence": ""},
+    ]
+    nc = [c for c in grouped_to_custom_checks(rows, "g")
+          if c.name == "sugg_grp_null_rate_c"][0]
+    assert nc.stat_max_rate == pytest.approx(1.5e-07)
