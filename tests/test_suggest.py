@@ -646,3 +646,36 @@ def test_tiny_null_rate_ceiling_not_truncated():
     nc = [c for c in grouped_to_custom_checks(rows, "g")
           if c.name == "sugg_grp_null_rate_c"][0]
     assert nc.stat_max_rate == pytest.approx(1.5e-07)
+
+
+@given(st.lists(
+    st.tuples(st.one_of(st.none(), st.text(min_size=0, max_size=8)),
+              st.one_of(st.none(), st.floats(allow_nan=True,
+                                             allow_infinity=True,
+                                             width=32))),
+    min_size=1, max_size=25))
+@settings(max_examples=10, deadline=None)
+def test_grouped_hold_property_fuzz(spark, rows):
+    """For ANY frame — group keys with quotes/backslashes/newlines/
+    unicode, values with NaN/inf/null — every compiled grouped check
+    parses, and the hard range check has zero violations on the frame
+    it was suggested from."""
+    from autoprepad_spark.operators.suggest import (
+        grouped_to_custom_checks,
+        suggest_grouped_checks,
+    )
+
+    df = spark.createDataFrame(rows, schema="g string, v double")
+    sugg = suggest_grouped_checks(df, "g", ["v"])
+    for r in sugg.collect():
+        json.loads(r["params"])
+    try:
+        checks = grouped_to_custom_checks(sugg, "g")
+    except ValueError:
+        return  # empty suggestion frame (e.g. all-null groups): rejected loudly
+    rng = [c for c in checks if c.name == "sugg_grp_range_v"]
+    if not rng:
+        return  # no finite bounds anywhere (all NaN/null values)
+    flagged = df.select(rng[0].flag_col().alias("f")
+                        ).groupBy().sum().collect()[0][0]
+    assert (flagged or 0) == 0
