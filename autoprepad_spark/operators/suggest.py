@@ -200,6 +200,7 @@ def suggest_checks(
     *,
     config: SuggestConfig = SuggestConfig(),
     profile: DataFrame | None = None,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Suggest declarative constraints the data currently satisfies.
 
@@ -210,17 +211,71 @@ def suggest_checks(
     Kinds emitted:
       not_null        column has zero nulls (hard)
       null_rate_max   column has nulls; ceiling = rate * headroom (soft)
-      unique          distinct ~= non-null count — wire to the suite's
-                      exact salted uniqueness check (no row predicate)
+      unique          distinct ~= non-null count (HLL-gated), then
+                      CONFIRMED by one exact count_distinct agg over
+                      the candidates — wire to the suite's exact salted
+                      uniqueness check (no row predicate). The exact
+                      confirm is the same shuffle family as the
+                      uniqueness check it wires up, restricted to
+                      candidate columns, so the 2% HLL rsd can never
+                      suggest `unique` for a column with genuine
+                      duplicates (which would false-fail immediately).
       isin            exact domain <= domain_max values (hard)
       non_negative    numeric with min >= 0 (hard)
       range           numeric observed [min, max] (soft — future data
                       may legitimately exceed a sample's bounds)
+
+    The hold property (every suggested check passes on its own source
+    data) is exact for the hard kinds. For `null_rate_max` the verdict
+    rule is PER-PARTITION while the profile is global, so pass
+    `partition_col` (the suite's verdict partition column) to derive
+    the ceiling from the MAX per-partition null rate via one extra
+    shrinking groupBy agg — then no partition of the source data can
+    fail its own suggestion. Without it the ceiling is global-rate ×
+    headroom and a partition whose null rate exceeds headroom × the
+    global rate can legitimately fail (documented global-only mode).
     """
     spark = df.sparkSession
     pcols = dict(_profilable(df, cols))
     prof = profile if profile is not None else column_profile(df, cols)
     stats = {r["column"]: r for r in prof.collect() if r["column"] in pcols}
+
+    # unique candidates are HLL-gated, then confirmed with ONE exact
+    # count_distinct agg (partial-dedup shuffle bounded by the distinct
+    # counts of near-unique columns — the cost the wired-up uniqueness
+    # check pays anyway); nullable candidates stay gated per the exact
+    # nn comparison below
+    uniq_candidates = [
+        c for c, r in stats.items()
+        if (r["n_rows"] - r["n_null"]) > 0
+        and r["distinct_est"] >= (1 - config.unique_margin) * (r["n_rows"] - r["n_null"])
+    ]
+    exact_distinct: dict[str, int] = {}
+    if uniq_candidates:
+        row = df.agg(*[
+            F.count_distinct(_qcol(c)).alias(f"xd_{c}")
+            for c in uniq_candidates
+        ]).collect()[0].asDict()
+        exact_distinct = {c: int(row[f"xd_{c}"]) for c in uniq_candidates}
+
+    # per-partition max null rate for the null_rate_max ceiling: one
+    # groupBy(partition) agg over the nullable columns, rolled up to a
+    # single max row — O(|partitions|) intermediate, 1-row collect
+    part_max_rate: dict[str, float] = {}
+    if partition_col is not None:
+        if partition_col not in df.columns:
+            raise ValueError(f"partition column {partition_col!r} not in frame")
+        nullable = [c for c, r in stats.items() if r["n_null"] > 0]
+        if nullable:
+            per_part = df.groupBy(_qcol(partition_col)).agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[F.count(_qcol(c)).alias(f"nn_{c}") for c in nullable])
+            mrow = per_part.agg(*[
+                F.max((F.col("__n") - F.col(f"nn_{c}"))
+                      / F.col("__n")).alias(f"mr_{c}")
+                for c in nullable
+            ]).collect()[0].asDict()
+            part_max_rate = {c: float(mrow[f"mr_{c}"]) for c in nullable}
 
     out: list[tuple] = []
     small: list[str] = []
@@ -234,15 +289,16 @@ def suggest_checks(
                         "{}", f"nulls=0 of {n}", True))
         else:
             rate = r["n_null"] / n
-            ceil = min(1.0, rate * config.null_headroom)
+            base = part_max_rate.get(c, rate)
+            ceil = min(1.0, base * config.null_headroom)
             # raw repr, not a rounded format: truncating a tiny ceiling
             # to 0 would make the check fail on its own source data
             out.append((c, "null_rate_max", f"{_qname(c)} IS NULL",
                         f'{{"max_rate": {ceil!r}}}',
                         f"null_rate={rate:.6f}", False))
-        if nn > 0 and r["distinct_est"] >= (1 - config.unique_margin) * nn:
+        if c in exact_distinct and exact_distinct[c] == nn:
             out.append((c, "unique", None, "{}",
-                        f"distinct_est={r['distinct_est']} of {nn} non-null",
+                        f"distinct={exact_distinct[c]} of {nn} non-null (exact)",
                         True))
         if nn > 0 and r["distinct_est"] <= config.domain_max * config.domain_slack:
             small.append(c)
@@ -265,10 +321,24 @@ def suggest_checks(
     # keeps the driver collect at domain_max+1 values per column even if
     # an estimate lied.
     if small:
+        # FloatType domains melt through an explicit double widening:
+        # a float's shortest string repr ("0.1") re-parsed as a SQL
+        # numeric literal is the DOUBLE 0.1, which != the float 0.1f
+        # widened to double (0.10000000149…) — a naive isin check over
+        # a float domain would flag 100% of its own source rows. The
+        # double-cast string round-trips exactly (Java shortest-repr
+        # strings re-parse to the same double), and the emitted
+        # predicate compares CAST(col AS DOUBLE) so both sides widen
+        # identically.
+        def _domain_val(c: str) -> Column:
+            if stats[c]["dtype"] == "float":
+                return _qcol(c).cast("double").cast("string")
+            return _qcol(c).cast("string")
+
         melted = df.select(
             F.explode(F.array(*[
                 F.struct(F.lit(c).alias("column"),
-                         _qcol(c).cast("string").alias("value"))
+                         _domain_val(c).alias("value"))
                 for c in small
             ])).alias("kv")
         ).select("kv.column", "kv.value").filter(F.col("value").isNotNull())
@@ -289,9 +359,11 @@ def suggest_checks(
             if any(_sql_literal(v, stats[c]["dtype"]) is None for v in dom):
                 continue  # e.g. NaN in a small float domain: no SQL literal
             lits = ", ".join(_sql_literal(v, stats[c]["dtype"]) for v in dom)
+            ref = (f"CAST({_qname(c)} AS DOUBLE)"
+                   if stats[c]["dtype"] == "float" else _qname(c))
             out.append((c, "isin",
                         f"{_qname(c)} IS NOT NULL AND "
-                        f"{_qname(c)} NOT IN ({lits})",
+                        f"{ref} NOT IN ({lits})",
                         '{"domain_size": %d}' % len(dom),
                         "domain=[" + ", ".join(dom) + "]", True))
 
@@ -319,6 +391,12 @@ def to_custom_checks(
     survives columns whose null rate exceeds the global ceiling.
     """
     rows = suggestions.collect() if isinstance(suggestions, DataFrame) else suggestions
+    # sort before name assignment: collision suffixes ('_'-appended)
+    # must not depend on stored row order, which a multi-file parquet
+    # read back via runner --checks-from does not guarantee — name
+    # stability run-over-run is what keeps checkpoint/verdict history
+    # aligned
+    rows = sorted(rows, key=lambda r: (r["column"], r["kind"]))
     checks = []
     seen: set[str] = set()
     for r in rows:
@@ -366,6 +444,7 @@ def suggest_fds(
     *,
     max_violation_rate: float = 0.0,
     max_determinant_distinct: int = 1_000_000,
+    max_pairs: int = 256,
     profile: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate functional-dependency discovery: does A determine B?
@@ -414,7 +493,11 @@ def suggest_fds(
 
     pairs=None tries every ordered pair of profilable columns —
     quadratic in |cols|, fine for the tens-of-columns tables this
-    engine validates; pass explicit pairs beyond that.
+    engine validates; pass explicit pairs beyond that. `max_pairs`
+    makes the bound ENFORCED, in the style of the engine's other caps:
+    if more than max_pairs candidate pairs survive cardinality
+    pruning, the call raises instead of silently melting an
+    amplification factor that large through one exchange.
     """
     spark = df.sparkSession
     pcols = [c for c, _ in _profilable(df, None)]
@@ -453,6 +536,17 @@ def suggest_fds(
         FD_SCHEMA)
     if not pairs:
         return pruned_df.orderBy("determinant", "dependent")
+    # enforced (not just documented) bound on the melt fan-out: every
+    # live pair multiplies the scanned rows by one in the explode, so
+    # |live pairs| IS the scan-amplification factor
+    if len(pairs) > max_pairs:
+        raise ValueError(
+            f"{len(pairs)} candidate FD pairs survive cardinality "
+            f"pruning (> max_pairs={max_pairs}); each live pair "
+            "multiplies the melted scan rows by one. Pass explicit "
+            "`pairs` for the hypotheses you care about, lower "
+            "`max_determinant_distinct`, or raise `max_pairs` only if "
+            "the scan amplification is genuinely acceptable")
 
     melted = df.select(
         F.explode(F.array(*[

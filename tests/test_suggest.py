@@ -431,13 +431,15 @@ _num = st.one_of(
 )
 
 
-@given(st.lists(st.tuples(_cell, _num), min_size=1, max_size=30))
+@given(st.lists(st.tuples(_cell, _num, _num), min_size=1, max_size=30))
 @settings(max_examples=12, deadline=None)
 def test_hold_property_fuzz(spark, rows):
     """For ANY frame, every suggested HARD check has zero violations on
     the frame it was suggested from, and every params blob is valid
-    JSON — across quotes, backslashes, unicode, NaN/inf, and nulls."""
-    df = spark.createDataFrame(rows, schema="s string, x double")
+    JSON — across quotes, backslashes, unicode, NaN/inf, nulls, AND a
+    FloatType column (the float->string->literal round-trip that broke
+    isin domains before the double-widening fix)."""
+    df = spark.createDataFrame(rows, schema="s string, x double, f float")
     sugg = suggest_checks(df).collect()
     for r in sugg:
         json.loads(r["params"])
@@ -679,3 +681,97 @@ def test_grouped_hold_property_fuzz(spark, rows):
     flagged = df.select(rng[0].flag_col().alias("f")
                         ).groupBy().sum().collect()[0][0]
     assert (flagged or 0) == 0
+
+
+# ---------------------------------------------------------------------------
+# r5 ADVICE fixes: float domains, per-partition null ceiling, exact
+# unique confirm, name-order stability, FD max_pairs guard
+# ---------------------------------------------------------------------------
+
+def test_float_domain_isin_holds_and_catches(spark):
+    """FloatType exact domains: the shortest float repr ("0.1")
+    re-parsed as a SQL numeric literal is the DOUBLE 0.1, not the
+    float 0.1f widened (0.10000000149...). Before the double-widening
+    fix, the suggested isin check flagged 100% of its own source
+    rows; now it must hold exactly AND still catch a novel value."""
+    rows = [Row(f=[0.1, 0.2, 0.3][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, schema="f float")
+    sugg = suggest_checks(df).collect()
+    isin = _by(sugg, "f", "isin")
+    assert isin is not None
+    assert json.loads(isin["params"])["domain_size"] == 3
+    check = [c for c in to_custom_checks(sugg) if "isin" in c.name][0]
+    flagged = df.select(check.flag_col().alias("x")
+                        ).groupBy().sum().collect()[0][0]
+    assert (flagged or 0) == 0, "isin check false-fails its own source data"
+    # a float NOT in the domain still flags (0.25 is exactly
+    # representable, so no widening ambiguity about it being novel)
+    bad = spark.createDataFrame([Row(f=0.25)], schema="f float")
+    assert bad.select(check.flag_col().alias("x")).collect()[0]["x"] == 1
+
+
+def test_unique_requires_exact_distinct(spark):
+    """A column with ~3% genuine duplicates sits inside the 5% HLL
+    margin; the exact count_distinct confirm must suppress the unique
+    suggestion (wired to the suite's EXACT uniqueness check, it would
+    false-fail immediately), while a truly-unique column keeps it."""
+    rows = [Row(u=f"u-{i:05d}",
+                d=f"v-{0 if i % 33 == 0 else i:05d}")
+            for i in range(1200)]
+    df = spark.createDataFrame(rows, schema="u string, d string")
+    sugg = suggest_checks(df).collect()
+    uniq = {s["column"] for s in sugg if s["kind"] == "unique"}
+    assert "u" in uniq
+    assert "d" not in uniq, "near-unique column got an exact-failing unique"
+    ev = _by(sugg, "u", "unique")["evidence"]
+    assert "exact" in ev and "1200 of 1200" in ev
+
+
+def test_null_ceiling_per_partition_mode(spark):
+    """Global mode: a skewed partition's null rate can exceed the
+    global-rate x headroom ceiling (documented). With partition_col
+    the ceiling derives from the MAX per-partition rate, so no
+    partition of the source data can fail its own suggestion."""
+    rows = [Row(part="a", x=None if i % 100 == 0 else float(i))
+            for i in range(1000)]
+    rows += [Row(part="b", x=None if i % 5 < 2 else float(i))
+             for i in range(100)]
+    df = spark.createDataFrame(rows, schema="part string, x double")
+    g = _by(suggest_checks(df, cols=["x"]).collect(), "x", "null_rate_max")
+    p = _by(suggest_checks(df, cols=["x"], partition_col="part").collect(),
+            "x", "null_rate_max")
+    global_ceil = json.loads(g["params"])["max_rate"]
+    part_ceil = json.loads(p["params"])["max_rate"]
+    # partition b's rate is 0.4; global rate is 50/1100 ~ 0.045
+    assert global_ceil < 0.4 < part_ceil
+    assert abs(part_ceil - 0.4 * 1.5) < 1e-9
+    with pytest.raises(ValueError, match="partition column"):
+        suggest_checks(df, cols=["x"], partition_col="nope")
+
+
+def test_to_custom_checks_names_stable_under_row_order(spark):
+    """Sanitized-name collisions ('a.b' and 'a_b' both map to a_b) get
+    '_'-suffixed deterministically by (column, kind) — NOT by stored
+    row order, which a multi-file parquet read back via the runner
+    does not preserve."""
+    df = spark.createDataFrame(
+        [Row(**{"a.b": f"x{i}", "a_b": f"y{i}"}) for i in range(50)],
+        schema="`a.b` string, a_b string")
+    rows = suggest_checks(df).collect()
+    fwd = [c.name for c in to_custom_checks(rows)]
+    rev = [c.name for c in to_custom_checks(list(reversed(rows)))]
+    assert sorted(fwd) == sorted(rev)
+    # and the COLUMN behind each name is identical across orders
+    fwd_map = {c.name: c.predicate for c in to_custom_checks(rows)}
+    rev_map = {c.name: c.predicate for c in to_custom_checks(list(reversed(rows)))}
+    assert fwd_map == rev_map
+
+
+def test_fd_max_pairs_guard(spark, frame):
+    from autoprepad_spark.operators.suggest import suggest_fds
+
+    with pytest.raises(ValueError, match="max_pairs"):
+        suggest_fds(frame, max_determinant_distinct=700, max_pairs=3)
+    # explicit small pair lists never trip the guard
+    rows = suggest_fds(frame, pairs=[("source", "label")], max_pairs=3).collect()
+    assert len(rows) == 1
