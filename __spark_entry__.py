@@ -19,6 +19,7 @@ from autoprepad_spark.functions import nulls as FN
 from autoprepad_spark.functions import stats as FS
 from autoprepad_spark.functions.patterns import charclass_encode
 from autoprepad_spark.operators import dedup as DD
+from autoprepad_spark.operators import isoforest as ISO
 from autoprepad_spark.operators import drift as DR
 from autoprepad_spark.operators import similarity as SIM
 from autoprepad_spark.operators import text as TX
@@ -1659,6 +1660,35 @@ def q_mahalanobis(spark, sf):
     )
 
 
+def q_isoforest_scores(spark, sf):
+    """Isolation-family scorer (E6's pyod IForest archetype,
+    operators/isoforest.py, r5): half-space mass trees — the
+    cross-engine-EXACT member of the family (the production
+    fit_isolation_forest/isolation_scores pair is pytest-pinned:
+    vectorized-vs-recursive parity, outlier ranking, parallelism
+    independence). Tree structure is md5-derived and data-independent;
+    a row's leaf per tree is a closed-form codegen expression over its
+    min-max-normalized coordinates, leaf masses are fitted row counts
+    (broadcast-joined, <= n_trees * 2^depth cells), and the anomaly
+    signal is the INTEGER total mass across trees (low = isolated).
+    The oracle rebuilds the identical trees from the same md5 constants
+    and recomputes min/max from the same parquet — integer equality,
+    no tolerance. Output: the 50 most isolated lineitem rows."""
+    from autoprepad_spark.operators.isoforest import hs_mass_scores
+
+    li = _t(spark, sf, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    out = hs_mass_scores(li, cols, ["l_orderkey", "l_linenumber"],
+                         n_trees=8, depth=6, seed=77)
+    return (
+        out.orderBy(F.asc("total_mass"), "l_orderkey", "l_linenumber")
+        .limit(50)
+        .select("l_orderkey",
+                F.col("l_linenumber").cast("long").alias("l_linenumber"),
+                "total_mass")
+    )
+
+
 def q_regression_impute(spark, sf):
     """E4 (IterativeImputer) analog: OLS fit on complete rows via one
     normal-equations aggregation, nulls filled by a predict expression."""
@@ -1727,6 +1757,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_running_totals": q_stream_running_totals,
         "stream_validate": q_stream_validate,
         "mahalanobis_scores": q_mahalanobis,
+        # r5: isolation-family scorer, oracle-exact via md5-derived
+        # half-space mass trees (integer masses, shared-verbatim SQL)
+        "isoforest_scores": q_isoforest_scores,
         "regression_impute": q_regression_impute,
         "profile_stats": q_profile_stats,
         "null_profile": q_null_profile,
@@ -2976,6 +3009,22 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN score > 3.0 THEN 1 ELSE 0 END)::BIGINT AS n_outliers
             FROM sc GROUP BY 1
         """,
+        # r5: trees are md5-derived constants, so the oracle rebuilds
+        # the IDENTICAL structure from hs_oracle_sql's shared-verbatim
+        # fragments and recomputes min/max from the same parquet;
+        # masses are integers — exact equality, no tolerance. The
+        # outer casts pin BIGINT (DuckDB's sum yields HUGEINT).
+        "isoforest_scores": (
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "CAST(total_mass AS BIGINT) AS total_mass FROM ("
+            + ISO.hs_oracle_sql(
+                "lineitem",
+                ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+                ["l_orderkey", "l_linenumber"],
+                n_trees=8, depth=6, seed=77, limit=50,
+            )
+            + ")"
+        ),
         "regression_impute": """
             WITH li AS (SELECT l_returnflag, l_quantity,
                                CASE WHEN l_orderkey % 13 = 3 THEN NULL
