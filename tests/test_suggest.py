@@ -775,3 +775,66 @@ def test_fd_max_pairs_guard(spark, frame):
     # explicit small pair lists never trip the guard
     rows = suggest_fds(frame, pairs=[("source", "label")], max_pairs=3).collect()
     assert len(rows) == 1
+
+
+def test_thousand_group_checks_survive_strict_codegen(spark):
+    """The r4-verdict watch item, measured and closed: one CASE over
+    ~384+ arms exceeds Janino's 64 KB method limit and silently drops
+    the whole marking stage to the interpreted path (~6x slower
+    measured at 1000 groups) — and chains in the same fused Project
+    SHARE the method budget, so chunking the chain doesn't help. Above
+    max_arms_per_check the compiler therefore switches representation:
+    bounds become a dict in ONE vectorized Arrow UDF (O(1) generated
+    code). With codegen fallback DISABLED — so any over-budget method
+    raises instead of silently interpreting — the 1000-group check set
+    must still execute, and its flags must equal the monolithic chain's
+    on the same rows."""
+    from autoprepad_spark.operators.suggest import (
+        grouped_to_custom_checks,
+        suggest_grouped_checks,
+    )
+
+    n_groups = 1000
+    df = spark.range(20_000).select(
+        F.concat(F.lit("g-"), (F.col("id") % n_groups).cast("string"))
+        .alias("grp"),
+        (F.col("id") % 997).cast("double").alias("val"),
+    )
+    sugg = suggest_grouped_checks(df, "grp", ["val"], max_groups=1000)
+    checks = grouped_to_custom_checks(sugg, "grp")
+    rng = [c for c in checks if "range" in c.name]
+    # ONE check, unsuffixed name — representation changed, contract not
+    assert len(rng) == 1 and rng[0].name == "sugg_grp_range_val"
+    assert not isinstance(rng[0].predicate, str)  # UDF-backed Column
+
+    bad = spark.createDataFrame(
+        [("g-5", 1e9), ("g-777", -1e9), ("__novel__", 1e9), (None, 1e9)],
+        schema="grp string, val double")
+    both = df.unionByName(bad)
+    old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        hold = df.select(rng[0].flag_col().alias("f")
+                         ).groupBy().sum().collect()[0][0]
+        total = both.select(rng[0].flag_col().alias("f")
+                            ).groupBy().sum().collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+    assert (hold or 0) == 0          # hold property survives the UDF path
+    assert total == 2                # novel + null groups pass, 2 real hits
+
+    # UDF semantics == the monolithic chain (fallback back on for the
+    # giant CASE, which is exactly the path the UDF representation
+    # exists to avoid)
+    mono = grouped_to_custom_checks(sugg, "grp", max_arms_per_check=10**6)
+    mono_rng = [c for c in mono if "range" in c.name]
+    assert len(mono_rng) == 1 and isinstance(mono_rng[0].predicate, str)
+    mono_total = both.select(mono_rng[0].flag_col().alias("f")
+                             ).groupBy().sum().collect()[0][0]
+    assert mono_total == total == 2
+
+    # at/below the threshold the plain when-chain path is unchanged
+    small = grouped_to_custom_checks(
+        [r for r in sugg.collect() if r["group"] < "g-2"], "grp")
+    srng = [c for c in small if "range" in c.name]
+    assert srng and isinstance(srng[0].predicate, str)
