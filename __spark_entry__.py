@@ -1660,6 +1660,80 @@ def q_mahalanobis(spark, sf):
     )
 
 
+def q_autopilot_loop(spark, sf):
+    """The full autopilot composition in ONE oracled entry (r5, VERDICT
+    r4 next-round #6): profile/suggest on run 1 (with the r5
+    per-PARTITION null-rate ceiling, partition_col='part') -> compile
+    to CustomChecks -> ValidationSuite across THREE simulated runs —
+    run 3 carrying an engineered regression (partition p-000's aux null
+    rate jumps ~0.125 -> ~0.45) -> run-over-run metric-history anomaly
+    detection (drift.history_flags trailing median/MAD) over the
+    verdict series. The oracle re-derives EVERYTHING from the same
+    parquet: the md5-based null injection per run, the suggested
+    ceiling (max per-partition run-1 rate x 1.5), per-run per-partition
+    verdict rates and statuses, and the exact trailing-median/MAD/mod-z
+    arithmetic (mirroring numpy's 2-element median/MAD formula
+    operation-for-operation, infinity on a zero-MAD deviation
+    included). Output: the 32 run-3 (part x check) history rows."""
+    from autoprepad_spark import ValidationSuite
+    from autoprepad_spark.operators.drift import history_flags
+    from autoprepad_spark.operators.suggest import (
+        suggest_checks,
+        to_custom_checks,
+    )
+
+    df = spark.read.parquet(_tokens_input(spark))
+
+    def with_aux(salt: str, hot: bool):
+        h1 = F.substring(
+            F.md5(F.concat(F.col("doc_id"), F.lit(":" + salt))), 1, 1)
+        cond = h1.isin("0", "1")
+        if hot:
+            h2 = F.substring(
+                F.md5(F.concat(F.col("doc_id"), F.lit(":hot"))), 1, 1)
+            cond = cond | (
+                (F.col("part") == "p-000")
+                & h2.isin("0", "1", "2", "3", "4", "5"))
+        return df.withColumn(
+            "aux",
+            F.when(cond, F.lit(None).cast("string")).otherwise(F.lit("v")))
+
+    run_frames = [with_aux("r1", False), with_aux("r2", False),
+                  with_aux("r3", True)]
+
+    # profile-once on run 1; per-partition ceiling so no partition of
+    # the source data can fail its own suggestion (r5 suggest fix)
+    sugg = suggest_checks(run_frames[0], cols=["aux", "source"],
+                          partition_col="part")
+    _expected = {"sugg_null_rate_max_aux", "sugg_isin_aux",
+                 "sugg_not_null_source", "sugg_isin_source"}
+    checks = [c for c in to_custom_checks(sugg) if c.name in _expected]
+
+    hist = None
+    for seq, frame in enumerate(run_frames, start=1):
+        res = ValidationSuite(
+            custom_checks=checks, checks=[c.name for c in checks]
+        ).run(frame)
+        v = (
+            res.verdicts.select(
+                "part", "check_name", "status",
+                F.col("metric").cast("double").alias("metric"))
+            .withColumn("run_seq", F.lit(seq))
+            .cache()
+        )
+        v.count()
+        res.unpersist()
+        hist = v if hist is None else hist.unionByName(v)
+
+    out = history_flags(hist, "metric",
+                        key_cols=("part", "check_name"),
+                        order_col="run_seq", min_history=2)
+    return out.filter(F.col("run_seq") == 3).select(
+        "part", "check_name", "status", "metric",
+        F.col("n_history").cast("long").alias("n_history"),
+        "trailing_median", "trailing_mad", "mod_z", "flagged")
+
+
 def q_isoforest_scores(spark, sf):
     """Isolation-family scorer (E6's pyod IForest archetype,
     operators/isoforest.py, r5): half-space mass trees — the
@@ -1760,6 +1834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: isolation-family scorer, oracle-exact via md5-derived
         # half-space mass trees (integer masses, shared-verbatim SQL)
         "isoforest_scores": q_isoforest_scores,
+        # r5: suggest -> validate x3 -> metric-history anomaly, oracled
+        # end-to-end incl. the trailing median/MAD arithmetic
+        "autopilot_loop": q_autopilot_loop,
         "regression_impute": q_regression_impute,
         "profile_stats": q_profile_stats,
         "null_profile": q_null_profile,
@@ -3008,6 +3085,100 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(score), 6) AS avg_score,
                    sum(CASE WHEN score > 3.0 THEN 1 ELSE 0 END)::BIGINT AS n_outliers
             FROM sc GROUP BY 1
+        """,
+        # r5: the whole autopilot loop re-derived in SQL — md5 null
+        # injection per run, run-1 per-partition suggested ceiling,
+        # per-run verdicts, and numpy's exact 2-element trailing
+        # median/MAD/mod-z sequence (zero-MAD deviation -> infinity)
+        "autopilot_loop": f"""
+            WITH tok AS (
+              SELECT * FROM read_parquet('{SCRATCH}/validate_tokens_input/*.parquet')
+            ),
+            runs AS (
+              SELECT r.run_seq, t.part, t.doc_id, t.source,
+                     CASE WHEN substr(md5(t.doc_id || ':r' || r.run_seq), 1, 1)
+                            IN ('0', '1')
+                            OR (r.run_seq = 3 AND t.part = 'p-000'
+                                AND substr(md5(t.doc_id || ':hot'), 1, 1)
+                                  IN ('0','1','2','3','4','5'))
+                          THEN NULL ELSE 'v' END AS aux
+              FROM tok t, (SELECT unnest(generate_series(1, 3)) AS run_seq) r
+            ),
+            run1 AS (SELECT * FROM runs WHERE run_seq = 1),
+            ceilv AS (
+              SELECT max(rate) * 1.5 AS max_rate FROM (
+                SELECT (count(*) - count(aux)) * 1.0 / count(*) AS rate
+                FROM run1 GROUP BY part)
+            ),
+            dom_aux AS (SELECT DISTINCT aux FROM run1 WHERE aux IS NOT NULL),
+            dom_src AS (SELECT DISTINCT source FROM tok WHERE source IS NOT NULL),
+            rc AS (SELECT run_seq, part, count(*) AS row_count
+                   FROM runs GROUP BY 1, 2),
+            vna AS (SELECT run_seq, part, count(*) AS vc FROM runs
+                    WHERE aux IS NULL GROUP BY 1, 2),
+            via AS (SELECT run_seq, part, count(*) AS vc FROM runs
+                    WHERE aux IS NOT NULL
+                      AND aux NOT IN (SELECT aux FROM dom_aux) GROUP BY 1, 2),
+            vns AS (SELECT run_seq, part, count(*) AS vc FROM runs
+                    WHERE source IS NULL GROUP BY 1, 2),
+            vis AS (SELECT run_seq, part, count(*) AS vc FROM runs
+                    WHERE source IS NOT NULL
+                      AND source NOT IN (SELECT source FROM dom_src)
+                    GROUP BY 1, 2),
+            u AS (
+              SELECT rc.run_seq, rc.part, 'sugg_null_rate_max_aux' AS check_name,
+                     FALSE AS hard, coalesce(v.vc, 0) AS vc, rc.row_count
+              FROM rc LEFT JOIN vna v USING (run_seq, part)
+              UNION ALL
+              SELECT rc.run_seq, rc.part, 'sugg_isin_aux', TRUE,
+                     coalesce(v.vc, 0), rc.row_count
+              FROM rc LEFT JOIN via v USING (run_seq, part)
+              UNION ALL
+              SELECT rc.run_seq, rc.part, 'sugg_not_null_source', TRUE,
+                     coalesce(v.vc, 0), rc.row_count
+              FROM rc LEFT JOIN vns v USING (run_seq, part)
+              UNION ALL
+              SELECT rc.run_seq, rc.part, 'sugg_isin_source', TRUE,
+                     coalesce(v.vc, 0), rc.row_count
+              FROM rc LEFT JOIN vis v USING (run_seq, part)
+            ),
+            verd AS (
+              SELECT run_seq, part, check_name,
+                     CASE WHEN hard
+                          THEN CASE WHEN vc > 0 THEN 'fail' ELSE 'pass' END
+                          ELSE CASE WHEN vc / greatest(row_count, 1)
+                                      > (SELECT max_rate FROM ceilv)
+                                    THEN 'fail' ELSE 'pass' END
+                     END AS status,
+                     vc / greatest(row_count, 1) AS metric
+              FROM u
+            ),
+            hist AS (
+              SELECT part, check_name,
+                     max(CASE WHEN run_seq = 1 THEN metric END) AS m1,
+                     max(CASE WHEN run_seq = 2 THEN metric END) AS m2,
+                     max(CASE WHEN run_seq = 3 THEN metric END) AS m3,
+                     max(CASE WHEN run_seq = 3 THEN status END) AS status3
+              FROM verd GROUP BY 1, 2
+            ),
+            calc AS (
+              SELECT part, check_name, status3 AS status, m3 AS metric,
+                     (m1 + m2) / 2 AS med,
+                     (abs(m1 - (m1 + m2) / 2) + abs(m2 - (m1 + m2) / 2)) / 2
+                       AS mad
+              FROM hist
+            ),
+            z AS (
+              SELECT *, CASE WHEN mad > 0 THEN 0.6745 * abs(metric - med) / mad
+                             WHEN metric = med THEN 0.0
+                             ELSE 'infinity'::DOUBLE END AS mod_z
+              FROM calc
+            )
+            SELECT part, check_name, status, metric,
+                   CAST(2 AS BIGINT) AS n_history,
+                   med AS trailing_median, mad AS trailing_mad, mod_z,
+                   mod_z > 3.5 AS flagged
+            FROM z
         """,
         # r5: trees are md5-derived constants, so the oracle rebuilds
         # the IDENTICAL structure from hs_oracle_sql's shared-verbatim
