@@ -267,7 +267,10 @@ def split_exact_against_index(
     exact_dropped = new_hashed.join(idx_hashes, "content_hash", "left_semi").select(
         F.col(id_col).alias("doc_id"),
         F.lit("exact").alias("reason"),
-        F.lit(None).cast("long").alias("matched_id"),
+        # typed as the id column: a later union with the near pass's
+        # matched_id (real historical ids) must not coerce string ids
+        # through BIGINT
+        F.lit(None).cast(new_hashed.schema[id_col].dataType).alias("matched_id"),
         F.lit(None).cast("double").alias("est_jaccard"),
     )
     fresh = new_hashed.join(idx_hashes, "content_hash", "left_anti")

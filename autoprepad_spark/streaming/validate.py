@@ -393,8 +393,9 @@ def stream_dedup_against_index(
             .select(
                 F.col(id_col).alias("doc_id"),
                 F.lit("exact_in_batch").alias("reason"),
-                # long: matches dedup_against_index's dropped schema
-                F.lit(None).cast("long").alias("matched_id"),
+                # typed as the id column: matches dedup_against_index's
+                # dropped schema for long AND string ids
+                F.lit(None).cast(schema[id_col].dataType).alias("matched_id"),
                 F.lit(None).cast("double").alias("est_jaccard"),
             )
         )
