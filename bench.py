@@ -118,6 +118,10 @@ def run_headline() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # the large-scale flagship below caches the suite's marked frame at
+    # 20M rows; the 16g default heap GC-thrashes there (measured OOM) —
+    # run_worker already sizes for this, the headline session must too
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     spark = get_spark("bench", cores=cores)
     spark_calib = _spark_calibration(spark)
 
@@ -164,17 +168,33 @@ def run_headline() -> None:
         total += best
         print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
-    # ---- large-scale flagship (VERDICT r3 #5): the sf0.1 headline is
-    # fixed-cost-dominated (whole suite ~30-50s, single queries <1s), so
+    # ---- large-scale flagship — THE tracked round-over-round headline
+    # since r5 (VERDICT r4 next-round #4): the sf0.1 subset above is
+    # fixed-cost-dominated (whole suite ~10-15s, single queries <1s), so
     # round-over-round deltas there measure session constants as much as
-    # plans. This section runs the FLAGSHIP shape (parquet scan ->
-    # ValidationSuite -> verdicts) at 10x the sf0.1 token-row count —
-    # large enough that the timing is plan-dominated. Generation is
-    # fixture setup (deterministic, memoized on disk via _SUCCESS),
-    # never timed; the suite itself is min-of-2 like everything else.
+    # plans; this section is plan-dominated. It runs the FLAGSHIP shape
+    # (parquet scan -> ValidationSuite -> verdicts) at the largest row
+    # count that fits disk beside the 176M-row scaling input (20M rows
+    # ~7 GB), PLUS a per-component breakdown of the other operator
+    # families at the same scale (fit / uniqueness / token-domain dedup
+    # hash / drift) so a regression is attributable to a stage, not just
+    # "the suite". Generation is fixture setup (deterministic, memoized
+    # on disk via _SUCCESS), never timed; every timing is min-of-N like
+    # the subset above. `r4_ref` carries round-4's 10M-row flagship
+    # (suite_sec at its calib) so the cross-round comparison can be
+    # host-speed-normalized: compare
+    #   suite_sec_now / (r4.suite_sec * (rows/1e7) * calib_now/r4.calib).
     large = {}
-    large_rows = int(os.environ.get("SPARK_GRAFT_LARGE_ROWS", "10000000"))
+    large_rows = int(os.environ.get("SPARK_GRAFT_LARGE_ROWS", "20000000"))
     if large_rows > 0:
+        from pyspark.sql import functions as F
+
+        from autoprepad_spark.operators.drift import drift as drift_op
+        from autoprepad_spark.operators.drift import ntok_histogram
+        from autoprepad_spark.operators.profile import global_stats
+        from autoprepad_spark.operators.token_ops import token_exact_duplicates
+        from autoprepad_spark.operators.uniqueness import duplicate_keys
+
         lpath = os.path.join(
             os.environ.get("SPARK_BENCH_TMP", "/tmp"),
             f"bench_tokens_{large_rows}",
@@ -186,29 +206,68 @@ def run_headline() -> None:
                 "overwrite"
             ).parquet(lpath)
             gen_sec = round(time.perf_counter() - t0, 3)
-        best = None
-        for _ in range(max(repeats, 1)):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            ldf = spark.read.parquet(lpath)
-            res = ValidationSuite().run(ldf, dim=source_dim(spark))
-            n_verdicts = res.verdicts.count()
-            dt = time.perf_counter() - t0
-            res.unpersist()
-            best = dt if best is None else min(best, dt)
-        from pyspark.sql import functions as F
+        ldf = spark.read.parquet(lpath)
+        dim = source_dim(spark)
+        lbase = ntok_histogram(ldf).cache()
+        lbase.count()  # baseline fixture for the drift component
 
+        # the violation SINK shape, same as run_worker/--scaling (the
+        # production Iceberg-violations-table path): measured 1.4x
+        # faster than caching+counting the violation set at 20M rows
+        # (29.3s vs 41.3s, local[32]) — materialization is a
+        # distributed write, not a driver-side cache
+        lsink = os.path.join(
+            os.environ.get("SPARK_BENCH_TMP", "/tmp"), "bench_large_sink")
+
+        def _suite():
+            res = ValidationSuite().run(
+                spark.read.parquet(lpath), dim=dim, violation_sink=lsink)
+            n = res.verdicts.count()
+            res.unpersist()
+            return n
+
+        components = {
+            "suite": _suite,
+            "fit": lambda: global_stats(spark.read.parquet(lpath)) and 1,
+            "uniqueness": lambda: duplicate_keys(
+                spark.read.parquet(lpath)).count(),
+            "token_exact_dup": lambda: token_exact_duplicates(
+                spark.read.parquet(lpath)).count(),
+            "drift": lambda: drift_op(
+                lbase, ntok_histogram(spark.read.parquet(lpath))).count(),
+        }
+        ltimes: dict[str, float] = {}
+        n_verdicts = 0
+        for cname, fn in components.items():
+            best = None
+            for _ in range(max(repeats, 1)):
+                spark.catalog.clearCache()
+                lbase.cache().count()  # keep the drift baseline warm
+                t0 = time.perf_counter()
+                out = fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                if cname == "suite":
+                    n_verdicts = out
+            ltimes[cname] = round(best, 3)
+            print(f"# large/{cname}: {best:.2f}s", file=sys.stderr)
+        lbase.unpersist()
+        best = ltimes["suite"]
         n_tok = spark.read.parquet(lpath).agg(F.sum("n_tok")).collect()[0][0]
         large = {
             "rows": large_rows,
             "tokens": int(n_tok),
-            "suite_sec": round(best, 3),
+            "suite_sec": best,
             "rows_per_sec": round(large_rows / best, 1),
             "tokens_per_sec": round(int(n_tok) / best, 1),
             "gen_sec": gen_sec,
             "n_verdicts": n_verdicts,
+            "queries": ltimes,
+            # round-4 flagship at ITS host speed, for normalized
+            # cross-round comparison (see comment above)
+            "r4_ref": {"rows": 10_000_000, "suite_sec": 17.65,
+                       "calib_sec": 0.265},
         }
-        print(f"# large({large_rows} rows): {best:.2f}s suite", file=sys.stderr)
 
     sf = 0.1 if "0.1" in sf_dir else (0.01 if "0.01" in sf_dir else 0.001)
     print(json.dumps({
