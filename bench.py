@@ -61,6 +61,9 @@ HEADLINE = [
     "pack_sequences",
     "grouped_robust",
     "corpus_pipeline",
+    # r5: isolation-family scorer (half-space mass trees, broadcast
+    # mass join) — new query, excluded from r4-vs-r5 total comparisons
+    "isoforest_scores",
 ]
 
 
