@@ -331,17 +331,22 @@ def hs_mass_scores(
     for c in [*cols, *key_cols]:
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in frame")
-    stats = df.agg(*[
+    cond = None
+    for c in cols:
+        k = F.col(c).isNotNull()
+        cond = k if cond is None else (cond & k)
+    complete = df.filter(cond)
+    # min/max fit on the SAME null-complete population the trees score
+    # (a value living only on an excluded row must not stretch a box —
+    # and the oracle's stats CTE filters identically, so the normalizers
+    # are bit-equal by construction; caught by the cross-engine fuzz)
+    stats = complete.agg(*[
         a for j, c in enumerate(cols) for a in (
             F.min(F.col(c).cast("double")).alias(f"mn{j}"),
             F.max(F.col(c).cast("double")).alias(f"mx{j}"),
         )
     ])
-    cond = None
-    for c in cols:
-        k = F.col(c).isNotNull()
-        cond = k if cond is None else (cond & k)
-    norm = df.filter(cond).crossJoin(F.broadcast(stats))
+    norm = complete.crossJoin(F.broadcast(stats))
     frags = hs_leaf_fragments(cols, n_trees, depth, seed)
     leaves = norm.select(
         *key_cols,

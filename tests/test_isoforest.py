@@ -176,3 +176,45 @@ def test_hs_constant_column_and_null_rows(spark):
     assert all(r["total_mass"] > 0 for r in got)
     with pytest.raises(ValueError, match="not in frame"):
         hs_mass_scores(df, ["zz"], ["id"])
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: cross-engine mass exactness under adversarial floats
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_val = st.one_of(
+    st.none(),
+    st.integers(min_value=-10**6, max_value=10**6).map(float),
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=-1e9, max_value=1e9),
+)
+
+
+@given(st.lists(st.tuples(_val, _val), min_size=2, max_size=40))
+@settings(max_examples=8, deadline=None)
+def test_hs_mass_fuzz_exact_vs_duckdb(spark, tmp_path_factory, rows):
+    """For ANY finite-float frame — negatives, huge magnitudes, values
+    landing on box-boundary bits, constant columns, nulls — Spark and
+    DuckDB must produce the IDENTICAL integer mass per row. This is the
+    bit-exactness claim of the shared-verbatim fragments (normalize,
+    clamp, floor, pack) under adversarial inputs, not just the
+    engineered-cluster case."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
+        schema="id long, a double, b double")
+    p = str(tmp_path_factory.mktemp("hsfuzz") / "t.parquet")
+    df.write.mode("overwrite").parquet(p)
+    back = spark.read.parquet(p)
+    got = {r["id"]: r["total_mass"]
+           for r in hs_mass_scores(back, ["a", "b"], ["id"],
+                                   n_trees=4, depth=5, seed=7).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    want = dict(con.execute(
+        hs_oracle_sql("t", ["a", "b"], ["id"],
+                      n_trees=4, depth=5, seed=7)).fetchall())
+    assert got == want
