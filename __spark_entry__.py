@@ -1660,6 +1660,49 @@ def q_mahalanobis(spark, sf):
     )
 
 
+def q_fd_discovery(spark, sf):
+    """Approximate functional-dependency discovery as a driver row
+    (operators/suggest.py suggest_fds, r5 — previously pytest-only):
+    explicit hypothesis pairs over nation and lineitem, all measured in
+    ONE melted scan per table (the single row-scale exchange cascade).
+    nation: n_nationkey -> n_name HOLDS (key FD), n_name ->
+    n_regionkey HOLDS (each nation in one region), and n_regionkey ->
+    n_name is settled from the PROFILE ALONE (25 distinct names > 5
+    regions x slack with a null-free determinant: cardinality pruning
+    forces holds=false with NO data pass). lineitem: l_orderkey ->
+    l_suppkey is measured for real (multi-line orders use multiple
+    suppliers), l_returnflag -> l_linestatus measured, and l_returnflag
+    -> l_extendedprice profile-pruned like the nation pair. The oracle
+    recomputes every measured pair's group/violation counts and the
+    IEEE rate division exactly, and pins the two pruned rows' shapes —
+    pruning soundness (pruned => the exact check agrees holds=false) is
+    pytest-pinned in test_suggest.py."""
+    from autoprepad_spark.operators.suggest import suggest_fds
+
+    na = _t(spark, sf, "nation")
+    li = _t(spark, sf, "lineitem")
+    f1 = suggest_fds(na, pairs=[
+        ("n_nationkey", "n_name"),
+        ("n_regionkey", "n_name"),
+        ("n_name", "n_regionkey"),
+    ]).withColumn("tbl", F.lit("nation"))
+    f2 = suggest_fds(li, pairs=[
+        ("l_orderkey", "l_suppkey"),
+        ("l_returnflag", "l_linestatus"),
+        ("l_returnflag", "l_extendedprice"),
+    ]).withColumn("tbl", F.lit("lineitem"))
+    return (
+        f1.unionByName(f2)
+        .select(
+            "tbl", "determinant", "dependent",
+            F.col("n_groups").cast("long").alias("n_groups"),
+            F.col("violating_groups").cast("long").alias("violating_groups"),
+            "fd_rate", "holds", "checked",
+        )
+        .orderBy("tbl", "determinant", "dependent")
+    )
+
+
 def q_autopilot_loop(spark, sf):
     """The full autopilot composition in ONE oracled entry (r5, VERDICT
     r4 next-round #6): profile/suggest on run 1 (with the r5
@@ -1837,6 +1880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: suggest -> validate x3 -> metric-history anomaly, oracled
         # end-to-end incl. the trailing median/MAD arithmetic
         "autopilot_loop": q_autopilot_loop,
+        # r5: FD discovery measured pairs + one profile-pruned row
+        "fd_discovery": q_fd_discovery,
         "regression_impute": q_regression_impute,
         "profile_stats": q_profile_stats,
         "null_profile": q_null_profile,
@@ -3085,6 +3130,50 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(score), 6) AS avg_score,
                    sum(CASE WHEN score > 3.0 THEN 1 ELSE 0 END)::BIGINT AS n_outliers
             FROM sc GROUP BY 1
+        """,
+        # r5: measured FD pairs recomputed exactly; the pruned pair's
+        # row shape is pinned (the pruning decision is HLL-gated inside
+        # the engine; its soundness — pruned => the exact check agrees
+        # holds=false — is pytest-pinned in test_suggest.py)
+        "fd_discovery": """
+            WITH m AS (
+              SELECT 'nation' AS tbl, 'n_nationkey' AS determinant,
+                     'n_name' AS dependent, count(*) AS n_groups,
+                     sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS viol
+              FROM (SELECT n_nationkey, count(DISTINCT n_name) AS nb
+                    FROM nation WHERE n_nationkey IS NOT NULL GROUP BY 1)
+              UNION ALL
+              SELECT 'nation', 'n_name', 'n_regionkey', count(*),
+                     sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)
+              FROM (SELECT n_name, count(DISTINCT n_regionkey) AS nb
+                    FROM nation WHERE n_name IS NOT NULL GROUP BY 1)
+              UNION ALL
+              SELECT 'lineitem', 'l_orderkey', 'l_suppkey', count(*),
+                     sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)
+              FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nb
+                    FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1)
+              UNION ALL
+              SELECT 'lineitem', 'l_returnflag', 'l_linestatus', count(*),
+                     sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END)
+              FROM (SELECT l_returnflag, count(DISTINCT l_linestatus) AS nb
+                    FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1)
+            )
+            SELECT tbl, determinant, dependent,
+                   CAST(n_groups AS BIGINT) AS n_groups,
+                   CAST(viol AS BIGINT) AS violating_groups,
+                   CAST(viol AS DOUBLE) / greatest(n_groups, 1) AS fd_rate,
+                   CAST(viol AS DOUBLE) / greatest(n_groups, 1) <= 0.0
+                     AS holds,
+                   TRUE AS checked
+            FROM m
+            UNION ALL
+            SELECT 'lineitem', 'l_returnflag', 'l_extendedprice',
+                   NULL, NULL, NULL, FALSE, FALSE
+            UNION ALL
+            -- n_regionkey -> n_name is ALSO profile-pruned: 25 distinct
+            -- names > 5 regions x slack, determinant null-free
+            SELECT 'nation', 'n_regionkey', 'n_name',
+                   NULL, NULL, NULL, FALSE, FALSE
         """,
         # r5: the whole autopilot loop re-derived in SQL — md5 null
         # injection per run, run-1 per-partition suggested ceiling,
